@@ -1,0 +1,235 @@
+"""Alias-free resampling ops (XLA path).
+
+TPU-native rebuild of the reference's resampling primitives
+(``modules/filtrs.py:71-94``). Design differences from the reference:
+
+* **NHWC layout** throughout (TPU-native; channels on the lane dimension).
+  The reference is NCHW torch.
+* **Fused ops**: the reference runs a stride-1 depthwise conv then a separate
+  strided slice for downsampling, and materializes a zero-stuffed tensor then
+  convolves for upsampling. Here each is a *single*
+  ``lax.conv_general_dilated`` (window strides for down, ``lhs_dilation`` for
+  up — the classic upfirdn formulation), so XLA never materializes the
+  intermediate.
+* Filter taps arrive as NumPy design-time constants (see ``ops/filters.py``)
+  and are baked into the jitted graph.
+
+⚠ Parity trap preserved: the reference's ``custom_upsample``
+(``modules/filtrs.py:79-94``) does **not** apply the ``factor**2`` gain
+compensation of StyleGAN3 — with sum-1 taps and 3/4 zero samples the output
+DC is attenuated ~4x; the trained weights compensate. ``gain`` defaults to
+1.0 to match; pass ``gain=factor**2`` for the textbook behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "same_pad",
+    "depthwise_fir",
+    "downsample2x",
+    "upsample2x",
+    "filtered_gelu",
+    "maxpool2x",
+    "upsample_bilinear_align_corners",
+    "resize_matrix_1d",
+]
+
+
+def same_pad(k: int) -> tuple[int, int]:
+    """(lo, hi) spatial padding reproducing torch ``F.conv2d(padding='same')``.
+
+    For stride-1 convs torch pads ``(k-1)//2`` low / ``k//2`` high
+    (extra tap on the high side for even kernels). Verified against torch CPU
+    in ``tests/test_resample.py``.
+    """
+    return ((k - 1) // 2, k // 2)
+
+
+def _conv_kernel(taps, channels: int, dtype) -> jnp.ndarray:
+    """Shared-tap depthwise kernel in HWIO layout: (kh, kw, 1, C)."""
+    t = jnp.asarray(np.asarray(taps), dtype=dtype)
+    kh, kw = t.shape
+    return jnp.broadcast_to(t[:, :, None, None], (kh, kw, 1, channels))
+
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def depthwise_fir(
+    x: jax.Array,
+    taps,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """SAME depthwise FIR: every channel convolved with the same 2D taps.
+
+    Equivalent to the conv step of ``custom_downsample``
+    (``modules/filtrs.py:73-75``) without the decimation.
+    """
+    c = x.shape[-1]
+    kh, kw = np.asarray(taps).shape
+    return lax.conv_general_dilated(
+        x,
+        _conv_kernel(taps, c, x.dtype),
+        window_strides=(1, 1),
+        padding=(same_pad(kh), same_pad(kw)),
+        dimension_numbers=_DN,
+        feature_group_count=c,
+        precision=precision,
+    )
+
+
+def downsample2x(
+    x: jax.Array,
+    taps,
+    factor: int = 2,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Alias-free downsample: depthwise low-pass FIR + decimate, fused.
+
+    Matches ``custom_downsample`` (``modules/filtrs.py:71-77``): SAME conv
+    then ``x[:, :, ::factor, ::factor]``. Because SAME-conv-then-decimate
+    keeps exactly the conv outputs at positions ``0, factor, 2*factor, ...``,
+    it equals one strided conv with the same padding — a single XLA op.
+    """
+    c = x.shape[-1]
+    kh, kw = np.asarray(taps).shape
+    return lax.conv_general_dilated(
+        x,
+        _conv_kernel(taps, c, x.dtype),
+        window_strides=(factor, factor),
+        padding=(same_pad(kh), same_pad(kw)),
+        dimension_numbers=_DN,
+        feature_group_count=c,
+        precision=precision,
+    )
+
+
+def upsample2x(
+    x: jax.Array,
+    taps,
+    factor: int = 2,
+    gain: float = 1.0,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Alias-free upsample: zero-stuff by ``factor`` + depthwise FIR, fused.
+
+    Matches ``custom_upsample`` (``modules/filtrs.py:79-94``): allocate
+    ``(N, H*f, W*f, C)`` zeros, scatter ``x`` at ``::f`` positions, SAME conv.
+    Implemented as one ``lhs_dilation=factor`` conv; the dilated operand has
+    length ``H*f - (f-1)``, so the zero-stuffed tensor's trailing ``f-1``
+    zero rows/cols are folded into the high-side padding.
+
+    ``gain=1.0`` preserves the reference's un-compensated energy
+    (the ⚠ parity trap in the module docstring).
+    """
+    c = x.shape[-1]
+    t = np.asarray(taps)
+    if gain != 1.0:
+        t = t * float(gain)
+    kh, kw = t.shape
+    (hlo, hhi), (wlo, whi) = same_pad(kh), same_pad(kw)
+    return lax.conv_general_dilated(
+        x,
+        _conv_kernel(t, c, x.dtype),
+        window_strides=(1, 1),
+        padding=((hlo, hhi + factor - 1), (wlo, whi + factor - 1)),
+        lhs_dilation=(factor, factor),
+        dimension_numbers=_DN,
+        feature_group_count=c,
+        precision=precision,
+    )
+
+
+def filtered_gelu(
+    x: jax.Array,
+    up_taps,
+    down_taps,
+    factor: int = 2,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Filtered nonlinearity: 2x alias-free up → exact GELU → 2x down.
+
+    The Config-C/D primitive, applied around every GELU of the filtered
+    blocks (``modules/ddpm_utils.py:118-142``). ``jax.nn.gelu`` defaults to
+    the tanh approximation; torch ``nn.GELU()`` is the exact erf form, so we
+    pass ``approximate=False``.
+    """
+    x = upsample2x(x, up_taps, factor, precision=precision)
+    x = jax.nn.gelu(x, approximate=False)
+    return downsample2x(x, down_taps, factor, precision=precision)
+
+
+def maxpool2x(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 max pool (NHWC) — torch ``nn.MaxPool2d(2)`` equivalent
+    used by the baseline ``Down`` block (``modules/ddpm_utils.py:203``)."""
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def resize_matrix_1d(
+    in_size: int,
+    out_size: int,
+    align_corners: bool,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Dense 1D bilinear interpolation operator, shape (out_size, in_size).
+
+    Bilinear resampling along one axis is a fixed linear map, so we bake it
+    as a trace-time constant matrix and apply it with an MXU einsum instead
+    of gathers — the TPU-native formulation of both torch
+    ``nn.Upsample(mode='bilinear', align_corners=True)`` (the baseline ``Up``
+    block, ``modules/ddpm_utils.py:226``) and the align_corners=False
+    convention of ``transforms.Resize`` used by the MNIST 28→32 pipeline
+    (``modules/utils.py:67``). Built in float64, cast on return.
+    """
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m.astype(dtype)
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+        src = min(max(src, 0.0), in_size - 1.0)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        frac = src - lo
+        m[i, lo] += 1.0 - frac
+        m[i, hi] += frac
+    return m.astype(dtype)
+
+
+def upsample_bilinear_align_corners(
+    x: jax.Array,
+    factor: int = 2,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Bilinear 2x upsample with align_corners=True semantics (NHWC).
+
+    Separable: one (H_out, H) and one (W_out, W) constant matrix applied via
+    einsum → two small MXU matmuls. ``jax.image.resize`` cannot express
+    align_corners=True, hence the explicit operator.
+    """
+    _, h, w, _ = x.shape
+    mh = jnp.asarray(resize_matrix_1d(h, h * factor, align_corners=True), x.dtype)
+    mw = jnp.asarray(resize_matrix_1d(w, w * factor, align_corners=True), x.dtype)
+    x = jnp.einsum("oh,nhwc->nowc", mh, x, precision=precision)
+    x = jnp.einsum("pw,nhwc->nhpc", mw, x, precision=precision)
+    return x

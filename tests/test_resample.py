@@ -1,0 +1,121 @@
+"""Resampling-op parity tests against a torch-CPU oracle.
+
+The oracle reproduces the *behavior spec* of the reference ops
+(``modules/filtrs.py:71-94``) directly with torch functional calls: depthwise
+SAME conv + decimate (down), zero-stuff + depthwise SAME conv (up), including
+the un-compensated upsample gain. Our NHWC JAX ops must match bit-tight in
+float32.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax.numpy as jnp
+
+from aliasfree_diffusion_models_pytorch_tpu.ops.filters import circular_lowpass_kernel
+from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
+    depthwise_fir,
+    downsample2x,
+    filtered_gelu,
+    maxpool2x,
+    upsample2x,
+    upsample_bilinear_align_corners,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def nhwc(x_nchw: torch.Tensor) -> np.ndarray:
+    return np.transpose(x_nchw.numpy(), (0, 2, 3, 1))
+
+
+def torch_depthwise_same(x: torch.Tensor, taps: np.ndarray) -> torch.Tensor:
+    c = x.shape[1]
+    w = torch.from_numpy(taps)[None, None].repeat(c, 1, 1, 1)
+    return TF.conv2d(x, w, padding="same", groups=c)
+
+
+def torch_down(x: torch.Tensor, taps: np.ndarray, factor: int = 2) -> torch.Tensor:
+    return torch_depthwise_same(x, taps)[:, :, ::factor, ::factor]
+
+
+def torch_up(x: torch.Tensor, taps: np.ndarray, factor: int = 2) -> torch.Tensor:
+    n, c, h, w = x.shape
+    stuffed = torch.zeros(n, c, h * factor, w * factor, dtype=x.dtype)
+    stuffed[:, :, ::factor, ::factor] = x
+    return torch_depthwise_same(stuffed, taps)
+
+
+@pytest.fixture(params=[3, 5, 6])
+def taps(request):
+    return circular_lowpass_kernel(np.pi / 2, request.param, beta=2.0)
+
+
+@pytest.fixture
+def x4d():
+    return RNG.standard_normal((2, 8, 12, 5)).astype(np.float32)
+
+
+def test_depthwise_fir_matches_torch(taps, x4d):
+    ours = np.asarray(depthwise_fir(jnp.asarray(x4d), taps))
+    ref = nhwc(torch_depthwise_same(nchw(x4d), taps))
+    np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_downsample_matches_torch(taps, x4d, factor):
+    ours = np.asarray(downsample2x(jnp.asarray(x4d), taps, factor))
+    ref = nhwc(torch_down(nchw(x4d), taps, factor))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_upsample_matches_torch(taps, x4d, factor):
+    ours = np.asarray(upsample2x(jnp.asarray(x4d), taps, factor))
+    ref = nhwc(torch_up(nchw(x4d), taps, factor))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_upsample_gain_quirk(taps):
+    """Reference upsample attenuates DC ~factor**2 (no gain compensation)."""
+    x = np.ones((1, 16, 16, 1), dtype=np.float32)
+    y = np.asarray(upsample2x(jnp.asarray(x), taps))
+    # Pointwise the output oscillates (3/4 of stuffed samples are zeros and a
+    # small kernel can't smooth them out); the *average* (DC) gain is 1/4.
+    inner = y[0, 4:-4, 4:-4, 0]
+    np.testing.assert_allclose(inner.mean(), 0.25, atol=1e-4)
+    # The compensated path restores unit DC gain.
+    y2 = np.asarray(upsample2x(jnp.asarray(x), taps, gain=4.0))
+    np.testing.assert_allclose(y2[0, 4:-4, 4:-4, 0].mean(), 1.0, atol=4e-4)
+
+
+def test_filtered_gelu_matches_torch(x4d):
+    up = circular_lowpass_kernel(np.pi / 2, 3, beta=2.0)
+    down = circular_lowpass_kernel(np.pi / 2, 3, beta=2.0)
+    ours = np.asarray(filtered_gelu(jnp.asarray(x4d), up, down))
+    t = torch_up(nchw(x4d), up)
+    t = TF.gelu(t)  # exact erf GELU — torch nn.GELU() default
+    ref = nhwc(torch_down(t, down))
+    np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_maxpool_matches_torch(x4d):
+    ours = np.asarray(maxpool2x(jnp.asarray(x4d)))
+    ref = nhwc(TF.max_pool2d(nchw(x4d), 2))
+    np.testing.assert_allclose(ours, ref, atol=0)
+
+
+def test_bilinear_align_corners_matches_torch(x4d):
+    ours = np.asarray(upsample_bilinear_align_corners(jnp.asarray(x4d), 2))
+    ref = nhwc(
+        TF.interpolate(nchw(x4d), scale_factor=2, mode="bilinear", align_corners=True)
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=1e-5)
