@@ -1,0 +1,196 @@
+"""Data pipelines: MNIST-CSV, image-folder trees, synthetic fallback.
+
+Rebuild of the reference loaders (``modules/utils.py:43-82``):
+
+* :func:`load_mnist_csv` — the reference's ``get_data_MNIST``: CSV with
+  label in column 0 and 784 pixel columns, ``/255`` → bilinear 28→32 resize
+  (torchvision tensor-mode ``Resize(32)``; upscaling, so antialias is a
+  no-op) → ``Normalize((0.5,), (0.5,))`` → [-1, 1]. Whole dataset
+  materialized in memory, as in the reference.
+* :func:`load_image_folder` — the reference's ``get_data`` /
+  ``torchvision.datasets.ImageFolder``: class-per-subdirectory image tree,
+  shorter-edge resize to ``image_size``, ``ToTensor`` + ``Normalize`` →
+  [-1, 1]. Used for CIFAR-10-32 / MNIST-M PNG trees (square images, so the
+  resize is usually an identity).
+* :class:`Dataloader` — deterministic shuffling (seeded numpy permutation per
+  epoch), NHWC float32 batches. ``drop_last=False`` matches the torch
+  ``DataLoader`` default; the multi-chip path uses ``drop_last=True`` so
+  every step has a static, mesh-divisible shape (one XLA executable).
+
+The resize is implemented as a constant linear operator
+(``ops/resample.py:resize_matrix_1d``) applied with two matmuls — the same
+TPU-native trick the model uses for bilinear upsampling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator
+
+import numpy as np
+
+from aliasfree_diffusion_models_pytorch_tpu.ops.resample import resize_matrix_1d
+
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """In-memory dataset: images NHWC float32 in [-1, 1], integer labels."""
+
+    images: np.ndarray
+    labels: np.ndarray
+
+    def __post_init__(self):
+        assert self.images.ndim == 4, self.images.shape
+        assert len(self.images) == len(self.labels)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+def resize_bilinear_np(x: np.ndarray, out_size: int) -> np.ndarray:
+    """Bilinear resize of an NHWC batch via separable constant matrices
+    (align_corners=False — the torch ``F.interpolate`` convention used by
+    torchvision ``Resize`` on tensors)."""
+    _, h, w, _ = x.shape
+    if h == out_size and w == out_size:
+        return x
+    mh = resize_matrix_1d(h, out_size, align_corners=False, dtype=np.float32)
+    mw = resize_matrix_1d(w, out_size, align_corners=False, dtype=np.float32)
+    x = np.einsum("oh,nhwc->nowc", mh, x)
+    return np.einsum("pw,nhwc->nhpc", mw, x)
+
+
+def load_mnist_csv(path: str, image_size: int = 32) -> ArrayDataset:
+    """MNIST-from-CSV (``modules/utils.py:55-82`` behavior)."""
+    import pandas as pd
+
+    data = pd.read_csv(path)
+    labels = data.iloc[:, 0].to_numpy().astype(np.int32)
+    feats = (data.iloc[:, 1:].to_numpy().astype(np.float32) / 255.0).reshape(
+        -1, 28, 28, 1
+    )
+    feats = resize_bilinear_np(feats, image_size)
+    feats = (feats - 0.5) / 0.5
+    return ArrayDataset(feats, labels)
+
+
+def load_image_folder(root: str, image_size: int = 32) -> ArrayDataset:
+    """ImageFolder tree → in-memory NHWC array dataset.
+
+    Matches ``get_data`` (``modules/utils.py:43-52``): shorter-edge resize,
+    /255, normalize each channel with (0.5, 0.5). Grayscale images keep one
+    channel; everything else converts to RGB.
+    """
+    from PIL import Image
+
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    if not classes:
+        raise FileNotFoundError(f"no class subdirectories under {root}")
+    images, labels = [], []
+    for ci, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.lower().endswith(IMAGE_EXTENSIONS):
+                continue
+            img = Image.open(os.path.join(cdir, fname))
+            img = img.convert("L") if img.mode in ("L", "1", "I;16") else img.convert("RGB")
+            w, h = img.size
+            if min(w, h) != image_size:
+                scale = image_size / min(w, h)
+                img = img.resize(
+                    (round(w * scale), round(h * scale)), Image.Resampling.BILINEAR
+                )
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            images.append(arr)
+            labels.append(ci)
+    x = np.stack(images)
+    x = (x - 0.5) / 0.5
+    return ArrayDataset(x, np.asarray(labels, np.int32))
+
+
+def synthetic_dataset(
+    n: int = 512, image_size: int = 32, channels: int = 1, seed: int = 0
+) -> ArrayDataset:
+    """Procedural stand-in (smooth random blobs in [-1, 1]) for tests/benches
+    when no real dataset is mounted."""
+    rng = np.random.default_rng(seed)
+    freq = rng.uniform(0.5, 3.0, (n, 2, channels))
+    phase = rng.uniform(0, 2 * np.pi, (n, 2, channels))
+    yy, xx = np.mgrid[0:image_size, 0:image_size] / image_size * 2 * np.pi
+    img = np.sin(freq[:, 0, None, None, :] * yy[None, :, :, None] + phase[:, 0, None, None, :]) \
+        * np.sin(freq[:, 1, None, None, :] * xx[None, :, :, None] + phase[:, 1, None, None, :])
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    return ArrayDataset(img.astype(np.float32), labels)
+
+
+class Dataloader:
+    """Deterministic shuffling batch iterator over an :class:`ArrayDataset`.
+
+    ``seed`` + ``epoch`` fully determine the order (reference determinism
+    contract, ``modules/utils.py:98-105``, without global RNG state).
+    """
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        else:
+            order = np.arange(n)
+        self.epoch += 1
+        stop = n - n % self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            yield self.dataset.images[idx], self.dataset.labels[idx]
+
+
+def get_data(
+    dataset: str,
+    dataset_path: str | None,
+    image_size: int,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    drop_last: bool = False,
+    synthetic_fallback: bool = False,
+) -> tuple[Dataloader, ArrayDataset]:
+    """Dispatcher mirroring ``ddpm_run``'s dataset selection
+    (``modules/ddpm_tasks.py:286-289``): "MNIST" → CSV loader, anything else
+    → image-folder loader. Returns ``(dataloader, dataset)``."""
+    if dataset_path is None or (
+        synthetic_fallback and not os.path.exists(dataset_path)
+    ):
+        ds = synthetic_dataset(image_size=image_size, seed=seed,
+                               channels=1 if dataset == "MNIST" else 3)
+    elif dataset == "MNIST":
+        ds = load_mnist_csv(dataset_path, image_size)
+    else:
+        ds = load_image_folder(dataset_path, image_size)
+    dl = Dataloader(ds, batch_size, shuffle=True, drop_last=drop_last, seed=seed)
+    return dl, ds

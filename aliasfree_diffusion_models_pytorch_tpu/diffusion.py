@@ -1,0 +1,242 @@
+"""DDPM process: schedule, forward noising, and scan-compiled samplers.
+
+Rebuild of the reference ``Diffusion`` class (``modules/ddpm_models.py:301-436``):
+linear beta schedule, forward noising ``sqrt(ᾱ_t)x + sqrt(1-ᾱ_t)ε``, and
+Ho-et-al. Algorithm-1 ancestral sampling — here compiled as ONE jitted
+``lax.scan`` over the 999 reverse steps instead of a Python loop of 999
+dispatches, including:
+
+* ``sample`` — returns ``(final_uint8, trajectory_uint8)``; with ``theta``
+  set, applies the Config-E per-step rotation *on device* as an MXU matmul
+  (see ``ops/rotation.py``) — the reference does a CPU scipy round-trip
+  every step (``modules/ddpm_models.py:375-376``).
+* ``revert`` — trajectory-only variant (``modules/ddpm_models.py:326-350``).
+* ``sample_shift`` — translation analogue, "under development" in the
+  reference (``modules/ddpm_models.py:388-419``): distributes a ±shift-pixel
+  horizontal translation over the steps via precomputed step indices.
+
+Faithful quirks: ``sample_timesteps`` draws from ``[1, noise_steps)`` (t=0 is
+never trained on — ``:323-324``); the reverse loop runs ``noise_steps-1 … 1``
+(999 model evals, not 1000); with rotation the total applied angle is
+``theta * (noise_steps-1)/noise_steps``; trajectory snapshots at every
+``i % 100 == 0`` plus the final state.
+
+RNG discipline: every sampler takes an explicit ``jax.random`` key. Passing
+the same key reproduces the same initial latent and per-step noise — that is
+what makes the reference's θ-sweep comparable (it re-seeds before every θ,
+``modules/ddpm_tasks.py:364-366``), and it works identically here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, random
+
+from aliasfree_diffusion_models_pytorch_tpu.ops.rotation import rotate_nhwc, shift_nhwc
+
+ModelFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x_nhwc, t) -> eps
+
+
+class Diffusion:
+    """Linear-schedule DDPM process over NHWC images."""
+
+    def __init__(
+        self,
+        noise_steps: int = 1000,
+        beta_start: float = 1e-4,
+        beta_end: float = 0.02,
+        img_size: int = 256,
+        snapshot_every: int = 100,
+    ):
+        self.noise_steps = int(noise_steps)
+        self.beta_start = float(beta_start)
+        self.beta_end = float(beta_end)
+        self.img_size = int(img_size)
+        self.snapshot_every = int(snapshot_every)
+        # float32 linspace — parity with torch.linspace (modules/ddpm_models.py:314).
+        self.beta = jnp.linspace(beta_start, beta_end, noise_steps, dtype=jnp.float32)
+        self.alpha = 1.0 - self.beta
+        self.alpha_hat = jnp.cumprod(self.alpha)
+
+    # ------------------------------------------------------------------
+    # Forward process
+    # ------------------------------------------------------------------
+
+    def noise_images(self, x: jax.Array, t: jax.Array, key: jax.Array):
+        """q(x_t | x_0): returns (x_t, eps). x is NHWC in [-1, 1]."""
+        sqrt_ah = jnp.sqrt(self.alpha_hat[t])[:, None, None, None]
+        sqrt_one_minus_ah = jnp.sqrt(1.0 - self.alpha_hat[t])[:, None, None, None]
+        eps = random.normal(key, x.shape, x.dtype)
+        return sqrt_ah * x + sqrt_one_minus_ah * eps, eps
+
+    def sample_timesteps(self, key: jax.Array, n: int) -> jax.Array:
+        """Uniform t in [1, noise_steps) — t=0 never trained (reference parity)."""
+        return random.randint(key, (n,), 1, self.noise_steps)
+
+    # ------------------------------------------------------------------
+    # Reverse process (ancestral sampling), one lax.scan for all variants
+    # ------------------------------------------------------------------
+
+    @property
+    def _num_mid_snapshots(self) -> int:
+        return (self.noise_steps - 1) // self.snapshot_every
+
+    def _scan_sampler(
+        self,
+        model_fn: ModelFn,
+        n: int,
+        channels: int,
+        *,
+        theta: float | None = None,
+        rotation_order: int = 3,
+        shift: int | None = None,
+        collect_trajectory: bool = True,
+    ):
+        """Build the scan body shared by sample/revert/sample_shift."""
+        steps = jnp.arange(self.noise_steps - 1, 0, -1)  # 999 … 1
+        num_mid = self._num_mid_snapshots
+        theta_step = None if theta is None else float(theta) / self.noise_steps
+
+        if shift:
+            # Reference precomputation (modules/ddpm_models.py:395-397):
+            # indices where a 1-px shift fires, first partition excluded.
+            dur = abs(shift) / self.noise_steps
+            idx = np.round(np.arange(0, self.noise_steps, dur)).astype(int)[1:]
+            shift_mask_host = np.zeros(self.noise_steps, dtype=bool)
+            shift_mask_host[idx[idx < self.noise_steps]] = True
+            shift_mask = jnp.asarray(shift_mask_host)
+            shift_sign = int(np.sign(shift))
+
+        def body(carry, i):
+            x, key, snaps = carry
+            key, nkey = random.split(key)
+            t = jnp.full((n,), i, jnp.int32)
+            eps = model_fn(x, t)
+            alpha = self.alpha[i]
+            alpha_hat = self.alpha_hat[i]
+            beta = self.beta[i]
+            z = random.normal(nkey, x.shape, x.dtype)
+            z = jnp.where(i > 1, z, jnp.zeros_like(z))  # no noise at the last step
+            x = (
+                1.0 / jnp.sqrt(alpha)
+                * (x - (1.0 - alpha) / jnp.sqrt(1.0 - alpha_hat) * eps)
+                + jnp.sqrt(beta) * z
+            )
+            if theta_step is not None:
+                x = rotate_nhwc(x, theta_step, order=rotation_order)
+            if shift:
+                x = lax.cond(
+                    shift_mask[i],
+                    lambda h: shift_nhwc(h, shift_sign, 0),
+                    lambda h: h,
+                    x,
+                )
+            if collect_trajectory:
+                slot = num_mid - i // self.snapshot_every
+                snaps = lax.cond(
+                    i % self.snapshot_every == 0,
+                    lambda s: lax.dynamic_update_slice_in_dim(s, x[None], slot, 0),
+                    lambda s: s,
+                    snaps,
+                )
+            return (x, key, snaps), None
+
+        return steps, body, num_mid
+
+    def _run(
+        self,
+        model_fn: ModelFn,
+        n: int,
+        channels: int,
+        key: jax.Array,
+        **kw,
+    ):
+        steps, body, num_mid = self._scan_sampler(model_fn, n, channels, **kw)
+        key, xkey = random.split(key)
+        x = random.normal(xkey, (n, self.img_size, self.img_size, channels))
+        collect = kw.get("collect_trajectory", True)
+        snaps = jnp.zeros((num_mid + 1, n, self.img_size, self.img_size, channels))
+        (x, _, snaps), _ = lax.scan(body, (x, key, snaps), steps)
+        if collect:
+            snaps = lax.dynamic_update_slice_in_dim(snaps, x[None], num_mid, 0)
+        return x, snaps
+
+    @staticmethod
+    def to_uint8(x: jax.Array) -> jax.Array:
+        """clamp[-1,1] → [0,255] uint8 (truncating, torch ``.type`` parity)."""
+        x = (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0
+        return (x * 255.0).astype(jnp.uint8)
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        n: int,
+        image_channels: int,
+        key: jax.Array,
+        theta: float | None = None,
+        rotation_order: int = 3,
+    ):
+        """Ancestral sampling; returns ``(final_uint8, trajectory_uint8)``.
+
+        ``trajectory`` stacks the intermediate states at every 100 steps plus
+        the final state along the leading batch axis — shape
+        ``((num_snaps)*n, H, W, C)`` — matching the reference's
+        ``torch.cat(result)`` layout (``modules/ddpm_models.py:383``).
+        With ``theta``, applies the Config-E per-step rotation.
+        """
+        run = self._jitted_run(n, image_channels, theta, rotation_order, None, True)
+        x, snaps = run(model_fn, key)
+        traj = snaps.reshape((-1,) + snaps.shape[2:])
+        return self.to_uint8(x), self.to_uint8(traj)
+
+    def revert(self, model_fn: ModelFn, n: int, image_channels: int, key: jax.Array):
+        """Trajectory-only denoising demo (``modules/ddpm_models.py:326-350``)."""
+        run = self._jitted_run(n, image_channels, None, 3, None, True)
+        _, snaps = run(model_fn, key)
+        return self.to_uint8(snaps.reshape((-1,) + snaps.shape[2:]))
+
+    def sample_shift(
+        self,
+        model_fn: ModelFn,
+        n: int,
+        image_channels: int,
+        key: jax.Array,
+        shift: int | None = None,
+    ):
+        """Translation-equivariant sampling (reference "under development")."""
+        if shift == 0:
+            shift = None
+        run = self._jitted_run(n, image_channels, None, 3, shift, False)
+        x, _ = run(model_fn, key)
+        return self.to_uint8(x)
+
+    @functools.lru_cache(maxsize=64)
+    def _jitted_run(self, n, channels, theta, rotation_order, shift, collect):
+        """One compiled executable per static sampler configuration."""
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def run(model_fn, key):
+            return self._run(
+                model_fn,
+                n,
+                channels,
+                key,
+                theta=theta,
+                rotation_order=rotation_order,
+                shift=shift,
+                collect_trajectory=collect,
+            )
+
+        return run
+
+    def __hash__(self):  # lru_cache on methods needs a hashable self
+        return hash((self.noise_steps, self.beta_start, self.beta_end,
+                     self.img_size, self.snapshot_every))
+
+    def __eq__(self, other):
+        return isinstance(other, Diffusion) and hash(self) == hash(other)

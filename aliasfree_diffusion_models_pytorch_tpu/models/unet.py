@@ -1,0 +1,185 @@
+"""Versioned UNet denoiser (flax.linen, NHWC).
+
+Topology parity with the reference ``UNet`` (``modules/ddpm_models.py:41-298``)
+across ``variant=0..4``; the five hand-unrolled constructor branches collapse
+to one skeleton plus a variant→(resample, conv) spec table, since only the
+block classes differ between variants (verified in SURVEY.md §2.3).
+
+Channel widths are parameterized by ``image_size`` (reference quirk: base
+width == image size — at 32x32 the base width is 32), shared skeleton:
+
+    inc:   DoubleConv(c_in → S)
+    down1: S → 2S   @ S/2      sa1(2S)
+    down2: 2S → 4S  @ S/4      sa2(4S)
+    down3: 4S → 4S  @ S/8      sa3(4S)
+    bot:   4S → 8S → 8S → 4S
+    up1:   (4S + skip 4S) → 2S @ S/4   sa4(2S)
+    up2:   (2S + skip 2S) → S  @ S/2   sa5(S)
+    up3:   (S + skip S)   → S  @ S     sa6(S)
+    outc:  Conv1x1(S → c_out)
+
+I/O is NHWC; use :func:`aliasfree_diffusion_models_pytorch_tpu.utils.layout`
+helpers at the NCHW edge if migrating torch-shaped data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings
+from aliasfree_diffusion_models_pytorch_tpu.models.blocks import (
+    Conv3x3,
+    DoubleConv,
+    Down,
+    LabelEmbedding,
+    SelfAttention,
+    Up,
+)
+from aliasfree_diffusion_models_pytorch_tpu.models.init import (
+    torch_bias_init,
+    torch_kernel_init,
+)
+
+# variant → (down/up resample mode, down/up conv mode, inc/bottleneck conv mode)
+# Reference mapping: modules/ddpm_models.py:48-249.
+VARIANT_SPEC: dict[int, tuple[str, str, str, str]] = {
+    #        down-resample  up-resample  stage-conv   trunk-conv (inc+bot)
+    0: ("maxpool", "bilinear", "plain", "plain"),
+    1: ("aliasfree", "aliasfree", "plain", "plain"),
+    2: ("maxpool", "bilinear", "filtered", "filtered"),
+    3: ("aliasfree", "aliasfree", "filtered", "filtered"),
+    4: ("aliasfree", "aliasfree", "filtered4", "filtered4"),
+}
+
+VARIANT_NAMES = {
+    0: "Config A — baseline UNet",
+    1: "Config B — alias-free up/downsampling",
+    2: "Config C — filtered nonlinearities",
+    3: "Config D — alias-free resampling + filtered nonlinearities",
+    4: "variant 4 (unpublished) — D with post-upsample GroupNorm",
+}
+
+
+def sinusoidal_time_embedding(t: jax.Array, channels: int) -> jax.Array:
+    """Sinusoidal position encoding of timesteps.
+
+    Parity with ``UNet.pos_encoding`` (``modules/ddpm_models.py:261-269``):
+    ``inv_freq = 1 / 10000**(arange(0, C, 2)/C)``; output is
+    ``concat[sin(t * inv_freq), cos(t * inv_freq)]`` — all sines then all
+    cosines (NOT interleaved).
+    """
+    t = t.astype(jnp.float32)[:, None]  # (B, 1)
+    inv_freq = 1.0 / (
+        10000.0 ** (jnp.arange(0, channels, 2, dtype=jnp.float32) / channels)
+    )
+    ang = t * inv_freq[None, :]  # (B, C/2)
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class UNet(nn.Module):
+    """Denoiser ``eps_theta(x_t, t[, y])`` with 5 selectable topologies.
+
+    Args mirror the reference constructor (``modules/ddpm_models.py:41``)
+    minus the device (JAX arrays carry placement) — ``c_in``/``c_out``,
+    ``image_size`` (also the base channel width), ``time_dim``, optional
+    ``filters`` (required for variants 1-4), optional ``num_classes`` for the
+    conditional mode, and ``variant``.
+    """
+
+    c_in: int = 3
+    c_out: int = 3
+    image_size: int = 64
+    time_dim: int = 256
+    filters: Optional[FilterSettings] = None
+    num_classes: Optional[int] = None
+    variant: int = 0
+    use_pallas: bool = False
+    dtype: Optional[jnp.dtype] = None
+    precision: lax.Precision | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array, y: jax.Array | None = None):
+        if self.variant not in VARIANT_SPEC:
+            raise ValueError("variant value must be between 0 and 4")
+        if self.variant != 0 and self.filters is None:
+            raise ValueError("f_settings is empty")  # reference error string
+        down_rs, up_rs, stage_conv, trunk_conv = VARIANT_SPEC[self.variant]
+
+        s = int(self.image_size)
+        kw = dict(
+            filters=self.filters,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+        dc = dict(conv_mode=trunk_conv, **kw)
+
+        t_emb = sinusoidal_time_embedding(t, self.time_dim)
+        if self.dtype is not None:
+            t_emb = t_emb.astype(self.dtype)
+        if y is not None:
+            if self.num_classes is None:
+                raise ValueError("num_classes must be set for conditional mode")
+            t_emb = t_emb + LabelEmbedding(
+                self.num_classes, self.time_dim, dtype=self.dtype, name="label_emb"
+            )(y)
+
+        x1 = DoubleConv(s, name="inc", **dc)(x)
+        x2 = Down(2 * s, resample=down_rs, conv_mode=stage_conv, name="down1", **kw)(
+            x1, t_emb
+        )
+        x2 = SelfAttention(2 * s, dtype=self.dtype, precision=self.precision,
+                           name="sa1")(x2)
+        x3 = Down(4 * s, resample=down_rs, conv_mode=stage_conv, name="down2", **kw)(
+            x2, t_emb
+        )
+        x3 = SelfAttention(4 * s, dtype=self.dtype, precision=self.precision,
+                           name="sa2")(x3)
+        x4 = Down(4 * s, resample=down_rs, conv_mode=stage_conv, name="down3", **kw)(
+            x3, t_emb
+        )
+        x4 = SelfAttention(4 * s, dtype=self.dtype, precision=self.precision,
+                           name="sa3")(x4)
+
+        x4 = DoubleConv(8 * s, name="bot1", **dc)(x4)
+        x4 = DoubleConv(8 * s, name="bot2", **dc)(x4)
+        x4 = DoubleConv(4 * s, name="bot3", **dc)(x4)
+
+        h = Up(2 * s, resample=up_rs, conv_mode=stage_conv, name="up1", **kw)(
+            x4, x3, t_emb
+        )
+        h = SelfAttention(2 * s, dtype=self.dtype, precision=self.precision,
+                          name="sa4")(h)
+        h = Up(s, resample=up_rs, conv_mode=stage_conv, name="up2", **kw)(h, x2, t_emb)
+        h = SelfAttention(s, dtype=self.dtype, precision=self.precision, name="sa5")(h)
+        h = Up(s, resample=up_rs, conv_mode=stage_conv, name="up3", **kw)(h, x1, t_emb)
+        h = SelfAttention(s, dtype=self.dtype, precision=self.precision, name="sa6")(h)
+
+        out = nn.Conv(
+            self.c_out,
+            (1, 1),
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(s),
+            dtype=self.dtype,
+            precision=self.precision,
+            name="outc",
+        )(h)
+        return out.astype(jnp.float32)
+
+    def init_params(self, rng: jax.Array, batch: int = 1):
+        """Initialize parameters with a dummy batch (NHWC)."""
+        x = jnp.zeros((batch, self.image_size, self.image_size, self.c_in))
+        t = jnp.ones((batch,), jnp.int32)
+        y = jnp.zeros((batch,), jnp.int32) if self.num_classes else None
+        if y is None:
+            return self.init(rng, x, t)
+        return self.init(rng, x, t, y)
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,239 @@
+"""Training loop: AdamW + MSE-on-ε, jit-compiled and mesh-sharded.
+
+Rebuild of the reference ``train`` (``modules/ddpm_utils.py:483-519``):
+per step — sample ``t ∈ [1, noise_steps)``, forward-noise the batch, predict
+the noise with the UNet, MSE, AdamW(3e-4) update. Per epoch — mean loss
+recorded, ``image_gen_n`` samples saved as a grid (the reference *intends*
+this; its ``save_images(sample_tuple)`` call is a latent bug — SURVEY.md
+§2.2 — we implement the intent), checkpoint written.
+
+TPU-native deltas:
+* ONE jitted train step with donated state; batch sharded over the mesh's
+  ``data`` axis, params replicated (or ``fsdp``-sharded) — XLA inserts the
+  gradient ``psum`` over ICI from the sharding annotations alone.
+* RNG: per-step key = ``fold_in(base_key, step)`` — deterministic,
+  resume-stable, independent of host thread scheduling.
+* EMA (reference defines but never calls it — ``modules/ddpm_utils.py:26-51``)
+  is wired in as an *option* with identical semantics: parameter copy for the
+  first ``step_start_ema`` steps, then ``old*beta + new*(1-beta)``.
+* AdamW hyperparameters pinned to torch defaults (b1=0.9, b2=0.999, eps=1e-8,
+  weight_decay=1e-2 — optax's default wd differs!).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import random
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aliasfree_diffusion_models_pytorch_tpu.config import TrainConfig
+from aliasfree_diffusion_models_pytorch_tpu.data import Dataloader
+from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+from aliasfree_diffusion_models_pytorch_tpu.models.unet import UNet, param_count
+from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Pure pytree training state (flax-free so it shards trivially)."""
+
+    params: Any
+    opt_state: Any
+    ema_params: Any  # == params copy when EMA disabled-at-rest
+    step: jnp.ndarray  # scalar int32
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.ema_params, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """torch ``optim.AdamW(lr)`` defaults (``modules/ddpm_utils.py:489``)."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+
+
+def build_model(config: TrainConfig) -> UNet:
+    return UNet(
+        c_in=config.image_channels,
+        c_out=config.image_channels,
+        image_size=config.image_size,
+        time_dim=config.time_dim,
+        filters=config.filters,
+        variant=config.variant,
+        use_pallas=config.use_pallas,
+        dtype=jnp.dtype(config.compute_dtype)
+        if config.compute_dtype != "float32"
+        else None,
+    )
+
+
+def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[UNet, TrainState]:
+    model = build_model(config)
+    params = model.init_params(rng, batch=1)
+    tx = make_optimizer(config.lr)
+    opt_state = tx.init(params)
+    return model, TrainState(
+        params=params,
+        opt_state=opt_state,
+        ema_params=jax.tree.map(jnp.copy, params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model: UNet,
+    config: TrainConfig,
+    diffusion: Diffusion,
+    mesh: Mesh | None = None,
+) -> Callable:
+    """Build the jitted SPMD train step: ``(state, batch, key) -> (state, loss)``."""
+    tx = make_optimizer(config.lr)
+    ema_beta = config.ema_beta
+    use_ema = config.use_ema
+    step_start_ema = 2000  # reference default (modules/ddpm_utils.py:42)
+
+    def loss_fn(params, batch, key):
+        tkey, nkey = random.split(key)
+        t = diffusion.sample_timesteps(tkey, batch.shape[0])
+        x_t, noise = diffusion.noise_images(batch, t, nkey)
+        pred = model.apply(params, x_t, t)
+        return jnp.mean((noise - pred.astype(jnp.float32)) ** 2)
+
+    def step_fn(state: TrainState, batch: jax.Array, key: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if use_ema:
+            step = state.step
+            ema = jax.tree.map(
+                lambda old, new: jnp.where(
+                    step < step_start_ema, new, old * ema_beta + new * (1.0 - ema_beta)
+                ),
+                state.ema_params,
+                params,
+            )
+        else:
+            ema = state.ema_params
+        new_state = TrainState(params, opt_state, ema, state.step + 1)
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+
+def train(
+    config: TrainConfig,
+    dataloader: Dataloader,
+    *,
+    root: str = ".",
+    mesh: Mesh | None = None,
+    sample_each_epoch: bool = True,
+    checkpoint_each_epoch: bool = True,
+    log_every: int = 50,
+) -> list[float]:
+    """Full training run; returns per-epoch mean losses (reference contract).
+
+    Artifacts (same layout as the reference, SURVEY.md §5.4-5.5):
+    ``results/<run>/<epoch>.jpg`` sample grids, ``models/<run>/ckpt_*``
+    checkpoint (overwritten each epoch), loss CSV handled by the caller.
+    """
+    from aliasfree_diffusion_models_pytorch_tpu.utils import checkpoint as ckpt_lib
+    from aliasfree_diffusion_models_pytorch_tpu.utils.io import save_image_grid
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+
+    rng = random.key(config.seed)
+    rng, init_rng = random.split(rng)
+    model, state = create_train_state(config, init_rng)
+    logger.info(
+        "model variant=%d params=%s", config.variant, f"{param_count(state.params):,}"
+    )
+    diffusion = Diffusion(
+        noise_steps=config.noise_steps,
+        beta_start=config.beta_start,
+        beta_end=config.beta_end,
+        img_size=config.image_size,
+    )
+    step_fn = make_train_step(model, config, diffusion, mesh)
+
+    os.makedirs(config.results_dir(root), exist_ok=True)
+    os.makedirs(config.model_dir(root), exist_ok=True)
+
+    base_key = random.key(config.seed + 1)
+    loss_all: list[float] = []
+    global_step = 0
+    for epoch in range(config.epochs):
+        logger.info("Starting epoch %d:", epoch)
+        epoch_loss, nbatches = 0.0, 0
+        t_start, imgs = time.perf_counter(), 0
+        for images, _ in dataloader:
+            batch = jnp.asarray(images)
+            if mesh is not None:
+                batch = jax.device_put(batch, batch_sharding(mesh))
+            state, loss = step_fn(state, batch, random.fold_in(base_key, global_step))
+            epoch_loss += float(loss)
+            nbatches += 1
+            imgs += images.shape[0]
+            global_step += 1
+            if global_step % log_every == 0:
+                dt = time.perf_counter() - t_start
+                logger.info(
+                    "epoch %d step %d loss %.4f (%.1f imgs/s)",
+                    epoch, global_step, float(loss), imgs / max(dt, 1e-9),
+                )
+        loss_all.append(epoch_loss / max(nbatches, 1))
+
+        if sample_each_epoch:
+            # The reference's *intended* per-epoch artifact: a grid of the
+            # n final samples (its own call crashes on the sample() tuple —
+            # SURVEY.md §2.2).
+            params = state.ema_params if config.use_ema else state.params
+            final, _ = diffusion.sample(
+                lambda x, t: model.apply(params, x, t),
+                n=config.image_gen_n,
+                image_channels=config.image_channels,
+                key=random.fold_in(base_key, -epoch - 1),
+            )
+            save_image_grid(
+                np.asarray(final), os.path.join(config.results_dir(root), f"{epoch}.jpg")
+            )
+        if checkpoint_each_epoch:
+            ckpt_lib.save_checkpoint(
+                config.checkpoint_path(root),
+                state,
+                save_opt_state=config.checkpoint_opt_state,
+            )
+    return loss_all

@@ -1,0 +1,171 @@
+"""Reference (torch) checkpoint import.
+
+Lets a user of the reference codebase load their trained ``ckpt_{ds}_{v}.pt``
+state dicts (saved by ``modules/ddpm_utils.py:518``) straight into this
+framework's :class:`UNet` — and gives the test suite an exact forward-parity
+oracle against the torch model.
+
+Name translation (torch module tree → flax param tree):
+
+====================================  =============================
+torch (``modules/ddpm_*.py``)          flax (this package)
+====================================  =============================
+``X.double_conv.{0,1,3,4}``            ``X/{conv1,norm1,conv2,norm2}``
+``X.{conv1,norm1,conv2,norm2}``        same names (filtered DoubleConvs)
+``downN.maxpool_conv.{1,2}``           ``downN/{conv_res,conv_out}``
+``{downN,upN}.conv.{0,1}``             ``.../{conv_res,conv_out}``
+``X.emb_layer.1``                      ``X/emb/proj``
+``saN.ln``                             ``saN/ln``
+``saN.mha.in_proj_*``                  ``saN/qkv`` (transposed)
+``saN.mha.out_proj``                   ``saN/out``
+``saN.ff_self.{0,1,3}``                ``saN/{ff_ln,ff1,ff2}``
+``outc``                               ``outc``
+``label_emb``                          ``label_emb/embed``
+``{downN,upN}.norm1`` (variant 4)      DEAD CODE — dropped (the reference
+                                       defines but never applies these
+                                       GroupNorms, ``ddpm_utils.py:445,476``)
+====================================  =============================
+
+Array layout conversion: conv ``(O,I,kh,kw) → (kh,kw,I,O)``; linear
+``(O,I) → (I,O)``; packed qkv ``(3C,C) → (C,3C)`` (torch stacks rows
+``[Wq;Wk;Wv]``, so the transpose's column blocks line up with our
+``split(axis=-1)``); norm ``weight → scale``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def _to_numpy(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor without importing torch
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+_SEQ_DC = {"0": "conv1", "1": "norm1", "3": "conv2", "4": "norm2"}
+_FF_SELF = {"0": "ff_ln", "1": "ff1", "3": "ff2"}
+
+
+def torch_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> dict:
+    """Translate a reference UNet state_dict into a flax params tree.
+
+    Accepts torch tensors or numpy arrays. Returns ``{"params": {...}}``
+    ready for ``UNet.apply``. Unknown keys raise; variant-4 dead
+    ``norm1`` stage params are silently dropped.
+    """
+    params: dict = {}
+    for key, raw in state_dict.items():
+        v = _to_numpy(raw)
+        parts = key.split(".")
+        top = parts[0]
+
+        # variant-4 dead stage-level norms: down1.norm1.weight (depth 3)
+        if (
+            re.fullmatch(r"(down|up)\d", top)
+            and len(parts) == 3
+            and parts[1] == "norm1"
+        ):
+            continue
+
+        if top == "outc":
+            w = v.transpose(2, 3, 1, 0) if v.ndim == 4 else v
+            _set(params, ["outc", {"weight": "kernel", "bias": "bias"}[parts[1]]], w)
+            continue
+
+        if top == "label_emb":
+            _set(params, ["label_emb", "embed", "embedding"], v)
+            continue
+
+        if re.fullmatch(r"sa\d", top):
+            _convert_attention(params, top, parts[1:], v)
+            continue
+
+        if re.fullmatch(r"(down|up)\d", top):
+            sub = parts[1]
+            if sub == "emb_layer":
+                # emb_layer.1 is the Linear (0 is SiLU)
+                _set(
+                    params,
+                    [top, "emb", "proj",
+                     {"weight": "kernel", "bias": "bias"}[parts[3]]],
+                    v.T if parts[3] == "weight" else v,
+                )
+            elif sub in ("maxpool_conv", "conv"):
+                # maxpool_conv: index 0 is the pool; 1,2 are the DoubleConvs.
+                idx = parts[2]
+                slot = {"1": "conv_res", "2": "conv_out"} if sub == "maxpool_conv" \
+                    else {"0": "conv_res", "1": "conv_out"}
+                _convert_doubleconv(params, [top, slot[idx]], parts[3:], v)
+            else:
+                raise KeyError(f"unrecognized reference parameter: {key}")
+            continue
+
+        if top in ("inc", "bot1", "bot2", "bot3"):
+            _convert_doubleconv(params, [top], parts[1:], v)
+            continue
+
+        raise KeyError(f"unrecognized reference parameter: {key}")
+
+    return {"params": params}
+
+
+def _convert_doubleconv(params: dict, prefix: list[str], parts: list[str], v) -> None:
+    if parts[0] == "double_conv":  # plain DoubleConv Sequential
+        slot, leaf = _SEQ_DC[parts[1]], parts[2]
+    else:  # DoubleConv_F / _F4: explicit names
+        slot, leaf = parts[0], parts[1]
+    if slot.startswith("conv"):
+        _set(params, prefix + [slot, "conv",
+                               {"weight": "kernel", "bias": "bias"}[leaf]],
+             v.transpose(2, 3, 1, 0) if v.ndim == 4 else v)
+    else:  # norm
+        _set(params, prefix + [slot, "gn",
+                               {"weight": "scale", "bias": "bias"}[leaf]], v)
+
+
+def _convert_attention(params: dict, sa: str, parts: list[str], v) -> None:
+    sub = parts[0]
+    if sub == "ln":
+        _set(params, [sa, "ln", {"weight": "scale", "bias": "bias"}[parts[1]]], v)
+    elif sub == "mha":
+        if parts[1] == "in_proj_weight":
+            _set(params, [sa, "qkv", "kernel"], v.T)
+        elif parts[1] == "in_proj_bias":
+            _set(params, [sa, "qkv", "bias"], v)
+        elif parts[1] == "out_proj":
+            _set(params, [sa, "out", {"weight": "kernel", "bias": "bias"}[parts[2]]],
+                 v.T if parts[2] == "weight" else v)
+        else:
+            raise KeyError(f"unrecognized attention parameter: {sa}.{'.'.join(parts)}")
+    elif sub == "ff_self":
+        slot, leaf = _FF_SELF[parts[1]], parts[2]
+        if slot == "ff_ln":
+            _set(params, [sa, slot, {"weight": "scale", "bias": "bias"}[leaf]], v)
+        else:
+            _set(params, [sa, slot, {"weight": "kernel", "bias": "bias"}[leaf]],
+                 v.T if leaf == "weight" else v)
+    else:
+        raise KeyError(f"unrecognized attention parameter: {sa}.{'.'.join(parts)}")
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference ``.pt`` checkpoint file into a flax params tree.
+
+    Requires torch (CPU build is enough). The reference saves bare
+    ``model.state_dict()`` (``modules/ddpm_utils.py:518``).
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return torch_to_flax(sd)

@@ -1,0 +1,163 @@
+"""Diffusion process + sampler tests.
+
+Schedule math is checked against torch (the reference's substrate); the scan
+sampler is checked against an eager Python re-execution of the identical
+update rule with the identical RNG stream; rotation/shift ops are checked
+against scipy.ndimage (the reference's oracle).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+from jax import random
+from scipy import ndimage
+
+from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+from aliasfree_diffusion_models_pytorch_tpu.ops.rotation import (
+    rotate_nhwc,
+    rotation_operator,
+    shift_nhwc,
+)
+
+
+def test_schedule_matches_torch():
+    d = Diffusion(noise_steps=1000, img_size=32)
+    beta_t = torch.linspace(1e-4, 0.02, 1000)
+    alpha_t = 1.0 - beta_t
+    ah_t = torch.cumprod(alpha_t, dim=0)
+    np.testing.assert_allclose(np.asarray(d.beta), beta_t.numpy(), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d.alpha_hat), ah_t.numpy(), rtol=1e-5)
+
+
+def test_noise_images_formula():
+    d = Diffusion(noise_steps=100, img_size=8)
+    key = random.key(0)
+    x = random.uniform(random.key(1), (4, 8, 8, 3), minval=-1, maxval=1)
+    t = jnp.array([1, 10, 50, 99])
+    x_t, eps = d.noise_images(x, t, key)
+    ah = np.asarray(d.alpha_hat)[np.asarray(t)]
+    expect = (
+        np.sqrt(ah)[:, None, None, None] * np.asarray(x)
+        + np.sqrt(1 - ah)[:, None, None, None] * np.asarray(eps)
+    )
+    np.testing.assert_allclose(np.asarray(x_t), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_sample_timesteps_range():
+    d = Diffusion(noise_steps=50, img_size=8)
+    t = d.sample_timesteps(random.key(0), 10_000)
+    t = np.asarray(t)
+    assert t.min() >= 1 and t.max() <= 49  # t=0 never trained (reference parity)
+    assert t.max() == 49  # upper bound reached
+
+
+def _zero_model(x, t):
+    return jnp.zeros_like(x)
+
+
+def test_scan_matches_eager_loop():
+    """The lax.scan sampler must equal an eager re-execution of the same
+    update rule with the same RNG stream (validates scan wiring, snapshot
+    slots, and the i==1 no-noise branch)."""
+    d = Diffusion(noise_steps=11, img_size=8, snapshot_every=2)
+    n, c = 2, 1
+    key0 = random.key(42)
+
+    run = d._jitted_run(n, c, None, 3, None, True)
+    x_scan, snaps_scan = run(_zero_model, key0)
+
+    # Eager reference with identical key usage.
+    key, xkey = random.split(key0)
+    x = random.normal(xkey, (n, 8, 8, c))
+    num_mid = (11 - 1) // 2  # 5
+    snaps = np.zeros((num_mid + 1, n, 8, 8, c), np.float32)
+    for i in range(10, 0, -1):
+        key, nkey = random.split(key)
+        eps = np.zeros_like(x)
+        alpha = float(d.alpha[i]); ah = float(d.alpha_hat[i]); beta = float(d.beta[i])
+        z = random.normal(nkey, x.shape) if i > 1 else jnp.zeros_like(x)
+        x = 1 / np.sqrt(alpha) * (x - (1 - alpha) / np.sqrt(1 - ah) * eps) \
+            + np.sqrt(beta) * z
+        if i % 2 == 0:
+            snaps[num_mid - i // 2] = np.asarray(x)
+    snaps[num_mid] = np.asarray(x)
+
+    np.testing.assert_allclose(np.asarray(x_scan), np.asarray(x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(snaps_scan), snaps, rtol=1e-5, atol=1e-5)
+
+
+def test_sample_output_shapes_and_determinism():
+    d = Diffusion(noise_steps=101, img_size=8)
+    final, traj = d.sample(_zero_model, n=3, image_channels=1, key=random.key(0))
+    assert final.shape == (3, 8, 8, 1) and final.dtype == jnp.uint8
+    # (noise_steps-1)//100 mid snapshots + 1 final = 2 → 6 stacked images
+    assert traj.shape == (6, 8, 8, 1)
+    final2, _ = d.sample(_zero_model, n=3, image_channels=1, key=random.key(0))
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(final2))
+    final3, _ = d.sample(_zero_model, n=3, image_channels=1, key=random.key(1))
+    assert not np.array_equal(np.asarray(final), np.asarray(final3))
+
+
+def test_revert_matches_sample_trajectory():
+    d = Diffusion(noise_steps=101, img_size=8)
+    _, traj = d.sample(_zero_model, n=2, image_channels=1, key=random.key(3))
+    rev = d.revert(_zero_model, n=2, image_channels=1, key=random.key(3))
+    np.testing.assert_array_equal(np.asarray(traj), np.asarray(rev))
+
+
+@pytest.mark.parametrize("order", [1, 3])
+@pytest.mark.parametrize("degrees", [0.18, -37.5, 90.0])
+def test_rotation_matches_scipy(order, degrees):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    ours = np.asarray(rotate_nhwc(jnp.asarray(x), degrees, order=order))
+    ref = ndimage.rotate(
+        np.transpose(x, (0, 3, 1, 2)), angle=degrees, axes=(2, 3),
+        reshape=False, mode="grid-wrap", order=order,
+    )
+    np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 3, 1)),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_rotation_operator_cached():
+    a = rotation_operator(8, 1.25, 3)
+    b = rotation_operator(8, 1.25, 3)
+    assert a is b
+
+
+def test_shift_matches_scipy():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8, 8, 2)).astype(np.float32)
+    ours = np.asarray(shift_nhwc(jnp.asarray(x), hshift=1))
+    ref = ndimage.shift(
+        np.transpose(x, (0, 3, 1, 2)), shift=(0, 0, 0, 1), mode="grid-wrap"
+    )
+    np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 3, 1)), atol=1e-6)
+
+
+def test_sample_with_rotation_runs():
+    d = Diffusion(noise_steps=21, img_size=8)
+    final, traj = d.sample(_zero_model, n=1, image_channels=1,
+                           key=random.key(0), theta=45.0)
+    assert final.shape == (1, 8, 8, 1)
+
+
+def test_sample_shift_runs():
+    d = Diffusion(noise_steps=21, img_size=8)
+    out = d.sample_shift(_zero_model, n=1, image_channels=1,
+                         key=random.key(0), shift=4)
+    assert out.shape == (1, 8, 8, 1)
+    out0 = d.sample_shift(_zero_model, n=1, image_channels=1,
+                          key=random.key(0), shift=0)
+    assert out0.shape == (1, 8, 8, 1)
+
+
+def test_to_uint8_truncation_parity():
+    x = jnp.asarray([[-2.0, -1.0, 0.0, 0.999, 1.0, 2.0]])
+    got = np.asarray(Diffusion.to_uint8(x))
+    t = torch.tensor([[-2.0, -1.0, 0.0, 0.999, 1.0, 2.0]])
+    want = (((t.clamp(-1, 1) + 1) / 2) * 255).type(torch.uint8).numpy()
+    np.testing.assert_array_equal(got, want)
