@@ -1,0 +1,211 @@
+"""Command-line interface.
+
+The reference has no CLI — everything is driven from notebook cells
+(``Train.ipynb`` cell 4's params dict). This exposes the same experiment
+surface as subcommands, preserving every reference knob and the A/B/C/D
+config naming:
+
+    python -m aliasfree_diffusion_models_pytorch_tpu run --variant 3 \
+        --dataset MNIST --dataset-path data/mnist_train_small.csv \
+        --epochs 100 --batch-size 16 --f-kernel 3 --f-beta 2
+
+Subcommands: ``run`` (full ddpm_run pipeline), ``train`` (training only),
+``sample``, ``rotate`` (Config-E θ sweep → video), ``shift``, ``eval``
+(IS/FID/KID), ``info`` (device/mesh report).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--variant", type=int, default=0, help="UNet variant 0-4 (Configs A-D + v4)")
+    p.add_argument("--dataset", default="MNIST", help="MNIST | CIFAR10 | MNISTM | ...")
+    p.add_argument("--dataset-path", default=None)
+    p.add_argument("--image-size", type=int, default=32)
+    p.add_argument("--image-channels", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--noise-steps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--f-kernel", type=int, default=None, help="filter kernel size (enables filters)")
+    p.add_argument("--f-beta", type=float, default=None, help="Kaiser beta")
+    p.add_argument("--f-down", type=float, default=None, help="omega_c_down (default pi/2)")
+    p.add_argument("--f-up", type=float, default=None, help="omega_c_up (default pi/2)")
+    p.add_argument("--no-normalize-filters", action="store_true",
+                   help="expose the README's non-normalized kernel configs")
+    p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--root", default=".", help="artifact root directory")
+    p.add_argument("--image-gen-per-epoch", type=int, default=4)
+    p.add_argument("--gen-per-batch", type=int, default=200)
+    p.add_argument("--gen-total", type=int, default=2000)
+
+
+def _config_from_args(args) -> "TrainConfig":
+    from aliasfree_diffusion_models_pytorch_tpu.config import (
+        FilterSettings,
+        TrainConfig,
+    )
+
+    filters = None
+    if args.f_kernel is not None or args.variant != 0:
+        filters = FilterSettings(
+            kernel_size=args.f_kernel if args.f_kernel is not None else 3,
+            kaiser_beta=args.f_beta,
+            omega_c_down=args.f_down if args.f_down is not None else math.pi / 2,
+            omega_c_up=args.f_up if args.f_up is not None else math.pi / 2,
+            normalize=not args.no_normalize_filters,
+        )
+    return TrainConfig(
+        run_name=f"DDPM_Uncondtional_{args.dataset}_{args.variant}",
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        image_size=args.image_size,
+        image_channels=args.image_channels,
+        dataset_path=args.dataset_path,
+        lr=args.lr,
+        noise_steps=args.noise_steps,
+        image_gen_n=args.image_gen_per_epoch,
+        variant=args.variant,
+        dataset=args.dataset,
+        seed=args.seed,
+        filters=filters,
+        gen_per_batch=args.gen_per_batch,
+        gen_total=args.gen_total,
+        compute_dtype=args.compute_dtype,
+        use_ema=args.use_ema,
+        use_pallas=not args.no_pallas,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="aliasfree-diffusion-tpu",
+        description="TPU-native alias-free diffusion framework",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name, help_ in [
+        ("run", "full experiment pipeline (reference ddpm_run)"),
+        ("train", "training only"),
+        ("sample", "generate images from a trained checkpoint"),
+        ("rotate", "Config-E rotation sweep -> video/GIF"),
+        ("shift", "translation sweep"),
+        ("eval", "IS/FID/KID between two image folders"),
+        ("info", "device and mesh report"),
+    ]:
+        p = sub.add_parser(name, help=help_)
+        if name not in ("eval", "info"):
+            _add_common(p)
+    sub.choices["sample"].add_argument("--n", type=int, default=16)
+    sub.choices["sample"].add_argument("--out", default="samples.png")
+    sub.choices["rotate"].add_argument(
+        "--thetas", default="-90:90:9", help="start:stop:count degrees"
+    )
+    sub.choices["rotate"].add_argument("--out", default="rotation")
+    sub.choices["rotate"].add_argument("--fps", type=int, default=15)
+    sub.choices["shift"].add_argument("--shifts", default="-8,0,8")
+    sub.choices["eval"].add_argument("generated_dir")
+    sub.choices["eval"].add_argument("reference_dir")
+    sub.choices["eval"].add_argument("--limit", type=int, default=None)
+    sub.choices["eval"].add_argument("--save", default=None)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "info":
+        import jax
+        from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        print(f"backend: {jax.default_backend()}  devices: {len(devices)}")
+        for d in devices:
+            print(f"  {d}")
+        mesh = make_mesh()
+        print(f"default mesh: shape={dict(mesh.shape)}")
+        return 0
+
+    if args.cmd == "eval":
+        from aliasfree_diffusion_models_pytorch_tpu.eval import evaluate_folders
+
+        m = evaluate_folders(
+            args.generated_dir, args.reference_dir,
+            limit=args.limit, save_path=args.save,
+        )
+        print(json.dumps(m, indent=2))
+        return 0
+
+    config = _config_from_args(args)
+
+    if args.cmd == "run":
+        from aliasfree_diffusion_models_pytorch_tpu.tasks import ddpm_run
+
+        ddpm_run(config, root=args.root)
+        return 0
+
+    if args.cmd == "train":
+        from aliasfree_diffusion_models_pytorch_tpu.data import get_data
+        from aliasfree_diffusion_models_pytorch_tpu.train import train
+
+        dl, _ = get_data(
+            config.dataset, config.dataset_path, config.image_size,
+            config.batch_size, seed=config.seed, synthetic_fallback=True,
+        )
+        losses = train(config, dl, root=args.root)
+        print(json.dumps({"final_loss": losses[-1] if losses else None}))
+        return 0
+
+    if args.cmd == "sample":
+        from jax import random
+
+        from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+        from aliasfree_diffusion_models_pytorch_tpu.tasks import (
+            _load_model_params,
+            _model_fn,
+        )
+        from aliasfree_diffusion_models_pytorch_tpu.utils.io import save_image_grid
+
+        model, params = _load_model_params(config, args.root)
+        d = Diffusion(noise_steps=config.noise_steps, img_size=config.image_size)
+        final, _ = d.sample(
+            _model_fn(model, params), n=args.n,
+            image_channels=config.image_channels, key=random.key(config.seed),
+        )
+        save_image_grid(np.asarray(final), args.out)
+        print(f"wrote {args.out}")
+        return 0
+
+    if args.cmd == "rotate":
+        from aliasfree_diffusion_models_pytorch_tpu.tasks import rotation_video
+
+        start, stop, count = (float(v) for v in args.thetas.split(":"))
+        path = rotation_video(
+            config, np.linspace(start, stop, int(count)), args.out,
+            root=args.root, fps=args.fps,
+        )
+        print(f"wrote {path}")
+        return 0
+
+    if args.cmd == "shift":
+        from aliasfree_diffusion_models_pytorch_tpu.tasks import shift_results
+        from aliasfree_diffusion_models_pytorch_tpu.utils.io import save_image_grid
+
+        shifts = [int(s) for s in args.shifts.split(",")]
+        outs = shift_results(config, shifts, root=args.root)
+        save_image_grid(np.concatenate(outs, axis=0), "shift_sweep.png")
+        print("wrote shift_sweep.png")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,306 @@
+"""Generative-quality metrics: Inception Score, FID, KID.
+
+The reference delegates to ``torch_fidelity.calculate_metrics``
+(``Perf_evaluation.ipynb`` cell 6: isc/fid/kid on 2000 generated PNGs vs the
+training set). That library both downloads InceptionV3 weights and runs
+torch/CUDA — neither is TPU-native nor offline-friendly. Here the metric
+*math* is implemented from the primary definitions and is
+feature-extractor-agnostic:
+
+* :func:`inception_score` — ``exp(E_x KL(p(y|x) || p(y)))`` over splits
+  (Salimans et al. 2016), matching torch-fidelity's split protocol.
+* :func:`fid` — Fréchet distance ``|μ1-μ2|² + Tr(Σ1+Σ2-2(Σ1Σ2)^½)``
+  (Heusel et al. 2017) with a symmetric-eigendecomposition sqrtm.
+* :func:`kid` — polynomial-kernel (degree 3, gamma=1/d, coef0=1) unbiased
+  MMD² over random subsets (Bińkowski et al. 2018), torch-fidelity protocol
+  (100 subsets of min(1000, N)).
+
+Feature extractors:
+* :class:`InceptionV3Features` — the comparable-to-published-numbers path.
+  Requires a locally available torchvision/torch-fidelity weight file
+  (this image has no network egress); raises with instructions otherwise.
+* :class:`RandomFeatures` — a fixed-seed random-projection conv stack. Fully
+  offline and deterministic: USEFUL FOR RELATIVE A/B COMPARISON between
+  configs trained here, but NOT comparable to published FID/IS/KID numbers.
+  Every result dict carries ``feature_space`` so nobody confuses the two.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, random
+
+__all__ = [
+    "inception_score",
+    "fid",
+    "kid",
+    "FeatureExtractor",
+    "RandomFeatures",
+    "InceptionV3Features",
+    "evaluate_folders",
+    "calculate_metrics",
+]
+
+
+# ---------------------------------------------------------------------------
+# Metric math
+# ---------------------------------------------------------------------------
+
+
+def inception_score(probs: np.ndarray, splits: int = 10) -> tuple[float, float]:
+    """IS from per-image class probabilities (N, num_classes).
+
+    Returns (mean, std) over ``splits`` contiguous splits (torch-fidelity
+    protocol).
+    """
+    probs = np.asarray(probs, np.float64)
+    n = probs.shape[0]
+    scores = []
+    for i in range(splits):
+        part = probs[i * n // splits : (i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(part + 1e-16) - np.log(marginal + 1e-16))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def _sqrtm_product(sigma1: np.ndarray, sigma2: np.ndarray) -> float:
+    """Tr((Σ1 Σ2)^0.5) via the symmetric form: Σ1^½ Σ2 Σ1^½ has the same
+    nonzero eigenvalues as Σ1Σ2, and is PSD, so its root-trace is the sum of
+    sqrt-eigenvalues — numerically robust without scipy.linalg.sqrtm."""
+    vals1, vecs1 = np.linalg.eigh(sigma1)
+    vals1 = np.clip(vals1, 0, None)
+    root1 = (vecs1 * np.sqrt(vals1)) @ vecs1.T
+    m = root1 @ sigma2 @ root1
+    vals = np.linalg.eigvalsh((m + m.T) / 2)
+    return float(np.sqrt(np.clip(vals, 0, None)).sum())
+
+
+def fid(feat1: np.ndarray, feat2: np.ndarray) -> float:
+    """Fréchet distance between two feature clouds (N1, D) and (N2, D)."""
+    f1 = np.asarray(feat1, np.float64)
+    f2 = np.asarray(feat2, np.float64)
+    mu1, mu2 = f1.mean(0), f2.mean(0)
+    s1 = np.cov(f1, rowvar=False)
+    s2 = np.cov(f2, rowvar=False)
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * _sqrtm_product(s1, s2))
+
+
+def _poly_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    d = x.shape[1]
+    return (x @ y.T / d + 1.0) ** 3
+
+
+def kid(
+    feat1: np.ndarray,
+    feat2: np.ndarray,
+    *,
+    subsets: int = 100,
+    subset_size: int = 1000,
+    seed: int = 0,
+) -> tuple[float, float]:
+    """Unbiased MMD² with the torch-fidelity polynomial-kernel protocol.
+
+    Returns (mean, std) over subsets. Multiply by 100 for the README's
+    "KID x 100" convention.
+    """
+    f1 = np.asarray(feat1, np.float64)
+    f2 = np.asarray(feat2, np.float64)
+    m = min(subset_size, len(f1), len(f2))
+    rng = np.random.default_rng(seed)
+    vals = []
+    for _ in range(subsets):
+        x = f1[rng.choice(len(f1), m, replace=False)]
+        y = f2[rng.choice(len(f2), m, replace=False)]
+        kxx = _poly_kernel(x, x)
+        kyy = _poly_kernel(y, y)
+        kxy = _poly_kernel(x, y)
+        vals.append(
+            (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+            + (kyy.sum() - np.trace(kyy)) / (m * (m - 1))
+            - 2.0 * kxy.mean()
+        )
+    return float(np.mean(vals)), float(np.std(vals))
+
+
+# ---------------------------------------------------------------------------
+# Feature extractors
+# ---------------------------------------------------------------------------
+
+
+class FeatureExtractor(Protocol):
+    name: str
+
+    def features(self, images_u8: np.ndarray) -> np.ndarray:
+        """(N, H, W, C) uint8 → (N, D) pooled features."""
+        ...
+
+    def logits(self, images_u8: np.ndarray) -> np.ndarray:
+        """(N, H, W, C) uint8 → (N, num_classes) class probabilities."""
+        ...
+
+
+@dataclasses.dataclass
+class RandomFeatures:
+    """Fixed-seed random conv stack — offline, deterministic, jit-compiled.
+
+    3x [conv3x3-stride2 + gelu] → global mean/std pool → D features; a random
+    readout head provides "class" probabilities for an IS-like diversity
+    score. Relative comparisons only; ``feature_space='random-conv'`` is
+    stamped on every result.
+    """
+
+    dim: int = 256
+    num_classes: int = 128
+    seed: int = 0
+    name: str = "random-conv"
+
+    def _weights(self, c_in: int):
+        key = random.key(self.seed)
+        ks = random.split(key, 4)
+        w0 = random.normal(ks[0], (3, 3, c_in, 64)) / np.sqrt(9 * c_in)
+        w1 = random.normal(ks[1], (3, 3, 64, 128)) / np.sqrt(9 * 64)
+        w2 = random.normal(ks[2], (3, 3, 128, self.dim // 2)) / np.sqrt(9 * 128)
+        wr = random.normal(ks[3], (self.dim, self.num_classes)) / np.sqrt(self.dim)
+        return w0, w1, w2, wr
+
+    def _forward(self, x: jax.Array):
+        w0, w1, w2, wr = self._weights(x.shape[-1])
+
+        def conv(h, w):
+            return lax.conv_general_dilated(
+                h, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+
+        h = jax.nn.gelu(conv(x, w0))
+        h = jax.nn.gelu(conv(h, w1))
+        h = jax.nn.gelu(conv(h, w2))
+        mean = h.mean(axis=(1, 2))
+        std = h.std(axis=(1, 2))
+        feats = jnp.concatenate([mean, std], axis=-1)
+        probs = jax.nn.softmax(feats @ wr, axis=-1)
+        return feats, probs
+
+    def _run(self, images_u8: np.ndarray):
+        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
+        feats, probs = jax.jit(self._forward)(x)
+        return np.asarray(feats), np.asarray(probs)
+
+    def features(self, images_u8: np.ndarray) -> np.ndarray:
+        return self._run(images_u8)[0]
+
+    def logits(self, images_u8: np.ndarray) -> np.ndarray:
+        return self._run(images_u8)[1]
+
+
+@dataclasses.dataclass
+class InceptionV3Features:
+    """Published-number-comparable path; needs local InceptionV3 weights.
+
+    Point ``weights_path`` at a torchvision ``inception_v3`` state dict or a
+    torch-fidelity ``pt_inception`` file cached on disk. This environment has
+    no network egress, so the extractor raises a clear error when the file is
+    absent rather than silently degrading.
+    """
+
+    weights_path: str | None = None
+    name: str = "inception-v3"
+
+    def _unavailable(self):
+        raise FileNotFoundError(
+            "InceptionV3 weights not found. FID/IS/KID comparable to published "
+            "numbers require torchvision's inception_v3 weights at "
+            f"weights_path={self.weights_path!r}. In offline environments use "
+            "RandomFeatures for relative A/B comparisons instead."
+        )
+
+    def features(self, images_u8: np.ndarray) -> np.ndarray:
+        if not (self.weights_path and os.path.exists(self.weights_path)):
+            self._unavailable()
+        raise NotImplementedError(
+            "InceptionV3 JAX port pending — tracked in PROGRESS notes"
+        )
+
+    logits = features
+
+
+# ---------------------------------------------------------------------------
+# Folder-level driver (Perf_evaluation.ipynb protocol)
+# ---------------------------------------------------------------------------
+
+
+def _load_folder(path: str, limit: int | None = None) -> np.ndarray:
+    from PIL import Image
+
+    files = sorted(
+        (f for f in os.listdir(path) if f.lower().endswith(".png")),
+        key=lambda s: int("".join(ch for ch in s if ch.isdigit()) or 0),
+    )
+    if limit:
+        files = files[:limit]
+    imgs = []
+    for f in files:
+        arr = np.asarray(Image.open(os.path.join(path, f)))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        imgs.append(arr)
+    return np.stack(imgs)
+
+
+def calculate_metrics(
+    images1: np.ndarray,
+    images2: np.ndarray,
+    extractor: FeatureExtractor | None = None,
+    *,
+    isc: bool = True,
+    compute_fid: bool = True,
+    compute_kid: bool = True,
+) -> dict:
+    """torch-fidelity-shaped metric dict from two uint8 NHWC image sets
+    (input1 = generated, input2 = reference — Perf_evaluation.ipynb order)."""
+    extractor = extractor or RandomFeatures()
+    out: dict = {"feature_space": extractor.name}
+    f1 = extractor.features(images1)
+    f2 = extractor.features(images2)
+    if isc:
+        m, s = inception_score(extractor.logits(images1))
+        out["inception_score_mean"] = m
+        out["inception_score_std"] = s
+    if compute_fid:
+        out["frechet_inception_distance"] = fid(f1, f2)
+    if compute_kid:
+        m, s = kid(f1, f2)
+        out["kernel_inception_distance_mean"] = m
+        out["kernel_inception_distance_std"] = s
+    return out
+
+
+def evaluate_folders(
+    generated_dir: str,
+    reference_dir: str,
+    extractor: FeatureExtractor | None = None,
+    *,
+    limit: int | None = None,
+    save_path: str | None = None,
+) -> dict:
+    """Folder-based protocol: 2000 generated PNGs vs the training-set PNGs
+    (``Perf_evaluation.ipynb`` cells 2-6); writes ``eval_{...}.txt`` style
+    output when ``save_path`` is given."""
+    m = calculate_metrics(
+        _load_folder(generated_dir, limit), _load_folder(reference_dir, limit),
+        extractor,
+    )
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        with open(save_path, "w") as f:
+            f.write("\n".join(f"{k}: {v}" for k, v in m.items()))
+    return m

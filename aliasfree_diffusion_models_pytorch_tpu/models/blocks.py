@@ -58,6 +58,11 @@ from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
 
 Dtype = jnp.dtype
 
+# Default to exact fp32 matmuls/convs: several backends (including XLA:CPU)
+# otherwise use a reduced-precision fast path that breaks parity with torch
+# by ~1e-2. bfloat16 runs pass precision=DEFAULT explicitly (MXU-native).
+HIGHEST = lax.Precision.HIGHEST
+
 
 def _gelu(x):
     """Exact erf GELU — torch ``nn.GELU()`` default (NOT the tanh approximation
@@ -88,7 +93,7 @@ class Conv3x3(nn.Module):
     features: int
     use_bias: bool = False
     dtype: Optional[Dtype] = None
-    precision: lax.Precision | None = None
+    precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x):
@@ -127,7 +132,7 @@ class FilteredGELU(nn.Module):
 
     filters: FilterSettings
     use_pallas: bool = False
-    precision: lax.Precision | None = None
+    precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x):
@@ -135,9 +140,10 @@ class FilteredGELU(nn.Module):
         if self.use_pallas:
             from aliasfree_diffusion_models_pytorch_tpu.ops.pallas_kernels import (
                 fused_filtered_gelu,
+                taps_key,
             )
 
-            return fused_filtered_gelu(x, up, down)
+            return fused_filtered_gelu(x, taps_key(up), taps_key(down))
         x = upsample2x(x, up, precision=self.precision)
         x = _gelu(x)
         return downsample2x(x, down, precision=self.precision)
@@ -164,7 +170,7 @@ class DoubleConv(nn.Module):
     filters: Optional[FilterSettings] = None
     use_pallas: bool = False
     dtype: Optional[Dtype] = None
-    precision: lax.Precision | None = None
+    precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x):
@@ -225,6 +231,7 @@ class TimeEmbedAdd(nn.Module):
 
     features: int
     dtype: Optional[Dtype] = None
+    precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x, t_emb):
@@ -233,6 +240,7 @@ class TimeEmbedAdd(nn.Module):
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(t_emb.shape[-1]),
             dtype=self.dtype,
+            precision=self.precision,
             name="proj",
         )(jax.nn.silu(t_emb))
         return x + emb[:, None, None, :]
@@ -252,7 +260,7 @@ class Down(nn.Module):
     filters: Optional[FilterSettings] = None
     use_pallas: bool = False
     dtype: Optional[Dtype] = None
-    precision: lax.Precision | None = None
+    precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x, t_emb):
@@ -273,7 +281,7 @@ class Down(nn.Module):
         )
         x = DoubleConv(in_ch, residual=True, name="conv_res", **kw)(x)
         x = DoubleConv(self.out_channels, name="conv_out", **kw)(x)
-        return TimeEmbedAdd(self.out_channels, dtype=self.dtype, name="emb")(x, t_emb)
+        return TimeEmbedAdd(self.out_channels, dtype=self.dtype, precision=self.precision, name="emb")(x, t_emb)
 
 
 class Up(nn.Module):
@@ -292,7 +300,7 @@ class Up(nn.Module):
     filters: Optional[FilterSettings] = None
     use_pallas: bool = False
     dtype: Optional[Dtype] = None
-    precision: lax.Precision | None = None
+    precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x, skip, t_emb):
@@ -316,7 +324,7 @@ class Up(nn.Module):
         x = DoubleConv(
             self.out_channels, mid_channels=in_ch // 2, name="conv_out", **kw
         )(x)
-        return TimeEmbedAdd(self.out_channels, dtype=self.dtype, name="emb")(x, t_emb)
+        return TimeEmbedAdd(self.out_channels, dtype=self.dtype, precision=self.precision, name="emb")(x, t_emb)
 
 
 class SelfAttention(nn.Module):
@@ -333,7 +341,7 @@ class SelfAttention(nn.Module):
     channels: int
     num_heads: int = 4
     dtype: Optional[Dtype] = None
-    precision: lax.Precision | None = None
+    precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x):
@@ -356,8 +364,16 @@ class SelfAttention(nn.Module):
         def split_heads(a):
             return a.reshape(n, h * w, self.num_heads, head_dim)
 
-        attn = jax.nn.dot_product_attention(
-            split_heads(q), split_heads(k), split_heads(v)
+        # Manual scaled-dot-product attention (rather than
+        # jax.nn.dot_product_attention) so the matmul precision is pinned —
+        # torch scales q by 1/sqrt(head_dim) pre-matmul; equivalent here.
+        q = split_heads(q) * float(1.0 / np.sqrt(head_dim))
+        k = split_heads(k)
+        v = split_heads(v)
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k, precision=self.precision)
+        weights = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum(
+            "nhqk,nkhd->nqhd", weights, v, precision=self.precision
         ).reshape(n, h * w, c)
         attn = nn.Dense(
             c,

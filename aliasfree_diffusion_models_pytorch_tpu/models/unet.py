@@ -26,7 +26,10 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
@@ -65,19 +68,43 @@ VARIANT_NAMES = {
 }
 
 
-def sinusoidal_time_embedding(t: jax.Array, channels: int) -> jax.Array:
-    """Sinusoidal position encoding of timesteps.
 
-    Parity with ``UNet.pos_encoding`` (``modules/ddpm_models.py:261-269``):
-    ``inv_freq = 1 / 10000**(arange(0, C, 2)/C)``; output is
-    ``concat[sin(t * inv_freq), cos(t * inv_freq)]`` — all sines then all
-    cosines (NOT interleaved).
+@functools.lru_cache(maxsize=8)
+def _time_embedding_table(table_size: int, channels: int) -> np.ndarray:
+    """Exact float64 sinusoidal table for integer timesteps [0, table_size).
+
+    Formula parity with ``UNet.pos_encoding`` (``modules/ddpm_models.py:261-269``):
+    ``inv_freq = 1 / 10000**(arange(0, C, 2)/C)``;
+    ``concat[sin(t*inv_freq), cos(t*inv_freq)]`` — all sines then all cosines.
+
+    Precomputing in float64 sidesteps XLA's fast-path ``sin``, whose argument
+    reduction loses ~1e-3 accuracy at args ≈ t_max (torch's libm sin does
+    not) — and turns the per-step transcendentals into a single gather.
     """
-    t = t.astype(jnp.float32)[:, None]  # (B, 1)
+    t = np.arange(table_size, dtype=np.float64)[:, None]
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, channels, 2) / channels))
+    ang = t * inv_freq[None, :]
+    return np.concatenate([np.sin(ang), np.cos(ang)], axis=-1).astype(np.float32)
+
+
+def sinusoidal_time_embedding(
+    t: jax.Array, channels: int, table_size: int | None = 1024
+) -> jax.Array:
+    """Sinusoidal timestep encoding, ``(B,) -> (B, channels)``.
+
+    Integer timesteps below ``table_size`` (the DDPM case — t < noise_steps)
+    go through the exact precomputed table; ``table_size=None`` falls back to
+    the closed-form float32 formula (valid for arbitrary/fractional t, with
+    XLA's sin accuracy caveat).
+    """
+    if table_size is not None:
+        table = jnp.asarray(_time_embedding_table(table_size, channels))
+        return jnp.take(table, t.astype(jnp.int32), axis=0)
+    t = t.astype(jnp.float32)[:, None]
     inv_freq = 1.0 / (
         10000.0 ** (jnp.arange(0, channels, 2, dtype=jnp.float32) / channels)
     )
-    ang = t * inv_freq[None, :]  # (B, C/2)
+    ang = t * inv_freq[None, :]
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
@@ -98,9 +125,10 @@ class UNet(nn.Module):
     filters: Optional[FilterSettings] = None
     num_classes: Optional[int] = None
     variant: int = 0
+    time_table_size: int = 1024  # exact-embedding table; covers t < noise_steps
     use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
-    precision: lax.Precision | None = None
+    precision: lax.Precision | None = lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, y: jax.Array | None = None):
@@ -119,7 +147,7 @@ class UNet(nn.Module):
         )
         dc = dict(conv_mode=trunk_conv, **kw)
 
-        t_emb = sinusoidal_time_embedding(t, self.time_dim)
+        t_emb = sinusoidal_time_embedding(t, self.time_dim, self.time_table_size)
         if self.dtype is not None:
             t_emb = t_emb.astype(self.dtype)
         if y is not None:

@@ -1,0 +1,180 @@
+"""Fused Pallas TPU kernels for the alias-free hot path.
+
+The Config-C/D filtered nonlinearity (2x alias-free upsample → GELU → 2x
+alias-free downsample, ``modules/ddpm_utils.py:118-142``) is the hottest
+non-matmul op in the network: the XLA path materializes a ``(N, 2H, 2W, C)``
+intermediate between three ops — 4x the activation footprint in HBM traffic.
+
+``fused_filtered_gelu`` computes the whole sandwich in one VMEM-resident
+kernel using a **polyphase decomposition**: the zero-stuffed upsample conv is
+evaluated per output parity phase directly from ``x`` (never building the
+stuffed tensor — 3/4 of its samples are zeros), GELU is applied per phase,
+and the decimating down-conv reads the phases back with ±1 shifts. Everything
+is unrolled at trace time into ~25 VPU multiply-adds over (H, W, C) tiles;
+HBM sees exactly one read of ``x`` and one write of the output.
+
+Derivation (odd k, p = k//2, cross-correlation, zero 'same' padding):
+  up-phase  y[2i+a, 2j+b] = Σ_{dy≡p-a (2), dx≡p-b (2)} h[dy,dx] ·
+                              x[i+(a+dy-p)/2, j+(b+dx-p)/2]
+  down      z[i, j]       = Σ_{dy,dx} g[dy,dx] · y_phase(a',b')[i+r, j+s]
+            with a'=(dy-p) mod 2, r=(dy-p-a')/2 (same for columns).
+
+Gradients: ``custom_vjp`` whose backward is the JAX-derived VJP of the
+identical XLA composition (numerically equivalent; fused backward kernel is
+future work). Non-TPU backends and even kernel sizes fall back to the XLA
+path transparently.
+
+Parity: validated against the XLA ops (and hence against the torch oracle)
+in ``tests/test_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
+    downsample2x,
+    upsample2x,
+)
+
+
+def _lax_filtered_gelu(x, up_taps, down_taps):
+    x = upsample2x(x, up_taps)
+    x = jax.nn.gelu(x, approximate=False)
+    return downsample2x(x, down_taps)
+
+
+def _phase_terms(k: int):
+    """Static polyphase index plans for factor-2 up and down convs."""
+    p = k // 2
+    up = {}  # (a, b) -> list of (dy, dx, row_shift, col_shift)
+    for a in (0, 1):
+        for b in (0, 1):
+            terms = []
+            for dy in range(k):
+                if (a + dy - p) % 2:
+                    continue
+                for dx in range(k):
+                    if (b + dx - p) % 2:
+                        continue
+                    terms.append((dy, dx, (a + dy - p) // 2, (b + dx - p) // 2))
+            up[(a, b)] = terms
+    down = []  # (dy, dx, phase_a, phase_b, row_shift, col_shift)
+    for dy in range(k):
+        a = (dy - p) % 2
+        r = (dy - p - a) // 2
+        for dx in range(k):
+            b = (dx - p) % 2
+            s = (dx - p - b) // 2
+            down.append((dy, dx, a, b, r, s))
+    return up, down
+
+
+def _shift2d(x_pad, m: int, r: int, s: int, h: int, w: int):
+    """Read a (h, w, C) window at offset (r, s) from an array padded by m."""
+    return jax.lax.slice(
+        x_pad, (m + r, m + s, 0), (m + r + h, m + s + w, x_pad.shape[-1])
+    )
+
+
+def _make_kernel(k: int, up_taps: tuple, down_taps: tuple, h: int, w: int):
+    up_plan, down_plan = _phase_terms(k)
+    hu = np.asarray(up_taps, np.float32).reshape(k, k)
+    hd = np.asarray(down_taps, np.float32).reshape(k, k)
+    m = max(k // 2, 1)  # max |shift| in either plan is <= k//2
+
+    def kernel(x_ref, out_ref):
+        x = x_ref[0]  # (h, w, C)
+        c = x.shape[-1]
+        zero_h = jnp.zeros((m, w + 2 * m, c), x.dtype)
+        zero_w = jnp.zeros((h, m, c), x.dtype)
+        x_pad = jnp.concatenate([zero_w, x, zero_w], axis=1)
+        x_pad = jnp.concatenate([zero_h, x_pad, zero_h], axis=0)
+
+        # Upsample phases + exact GELU, each (h, w, C).
+        phases = {}
+        for (a, b), terms in up_plan.items():
+            acc = jnp.zeros((h, w, c), x.dtype)
+            for dy, dx, r, s in terms:
+                acc = acc + hu[dy, dx] * _shift2d(x_pad, m, r, s, h, w)
+            phases[(a, b)] = jax.nn.gelu(acc, approximate=False)
+
+        # Pad each phase once for the down conv's ±shifts.
+        ppad = {}
+        for key, ph in phases.items():
+            pp = jnp.concatenate([zero_w, ph, zero_w], axis=1)
+            ppad[key] = jnp.concatenate([zero_h, pp, zero_h], axis=0)
+
+        out = jnp.zeros((h, w, c), x.dtype)
+        for dy, dx, a, b, r, s in down_plan:
+            out = out + hd[dy, dx] * _shift2d(ppad[(a, b)], m, r, s, h, w)
+        out_ref[0] = out
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_filtered_gelu(x: jax.Array, up_taps, down_taps) -> jax.Array:
+    """Fused 2x-up → GELU → 2x-down (NHWC); Pallas on TPU, XLA elsewhere.
+
+    ``up_taps``/``down_taps`` must be hashable static tap matrices — pass
+    tuples-of-tuples (see :func:`taps_key`) or ndarray (converted here).
+    """
+    return _fused_forward(x, _as_key(up_taps), _as_key(down_taps))
+
+
+def _as_key(taps):
+    if isinstance(taps, tuple):
+        return taps
+    t = np.asarray(taps)
+    return tuple(tuple(float(v) for v in row) for row in t)
+
+
+taps_key = _as_key
+
+
+def _fused_forward(x, up_key, down_key):
+    k = len(up_key)
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    use_pallas = (backend not in ("cpu",)) and k % 2 == 1 and x.ndim == 4
+    if not use_pallas:
+        return _lax_filtered_gelu(x, np.asarray(up_key), np.asarray(down_key))
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = x.shape
+    kernel = _make_kernel(k, up_key, down_key, h, w)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(x)
+
+
+def _fused_fwd(x, up_taps, down_taps):
+    return fused_filtered_gelu(x, up_taps, down_taps), x
+
+
+def _fused_bwd(up_taps, down_taps, x, g):
+    # Backward = JAX-derived VJP of the identical XLA composition.
+    up = np.asarray(_as_key(up_taps), np.float32)
+    down = np.asarray(_as_key(down_taps), np.float32)
+    _, vjp = jax.vjp(lambda xx: _lax_filtered_gelu(xx, up, down), x)
+    return (vjp(g)[0],)
+
+
+fused_filtered_gelu.defvjp(_fused_fwd, _fused_bwd)

@@ -103,11 +103,28 @@ def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[UNet, Train
     )
 
 
+def state_sharding_tree(mesh: Mesh, state: TrainState):
+    """Sharding layout for the whole TrainState.
+
+    With an ``fsdp`` mesh axis of size > 1, every large leaf (params, Adam
+    mu/nu, EMA) is sharded along its largest divisible dimension (ZeRO-3
+    layout); otherwise everything is replicated and only the batch is split
+    over ``data``.
+    """
+    from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import param_sharding
+
+    if "fsdp" in mesh.axis_names and mesh.shape["fsdp"] > 1:
+        return param_sharding(mesh, state, axis="fsdp")
+    rep = replicated(mesh)
+    return jax.tree.map(lambda _: rep, state)
+
+
 def make_train_step(
     model: UNet,
     config: TrainConfig,
     diffusion: Diffusion,
     mesh: Mesh | None = None,
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted SPMD train step: ``(state, batch, key) -> (state, loss)``."""
     tx = make_optimizer(config.lr)
@@ -144,11 +161,12 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=0)
 
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
+    # A single NamedSharding broadcasts over the whole state pytree.
+    st = state_shardings if state_shardings is not None else rep
     return jax.jit(
         step_fn,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(st, batch_sharding(mesh), rep),
+        out_shardings=(st, rep),
         donate_argnums=0,
     )
 
@@ -173,7 +191,11 @@ def train(
     from aliasfree_diffusion_models_pytorch_tpu.utils.io import save_image_grid
 
     if mesh is None and len(jax.devices()) > 1:
-        mesh = make_mesh()
+        # Auto data-parallel mesh when the batch divides the device count;
+        # otherwise stay single-device (exact reference semantics).
+        if config.batch_size % len(jax.devices()) == 0:
+            mesh = make_mesh()
+    data_div = mesh.shape["data"] if mesh is not None else 1
 
     rng = random.key(config.seed)
     rng, init_rng = random.split(rng)
@@ -200,6 +222,14 @@ def train(
         epoch_loss, nbatches = 0.0, 0
         t_start, imgs = time.perf_counter(), 0
         for images, _ in dataloader:
+            if mesh is not None and images.shape[0] % data_div != 0:
+                # Pad the trailing partial batch up to a shardable size by
+                # repeating leading samples (only reachable with
+                # drop_last=False; the loss contribution of the duplicates
+                # is the price of keeping every real sample, mirroring the
+                # reference's partial-batch training).
+                pad = data_div - images.shape[0] % data_div
+                images = np.concatenate([images, images[:pad]], axis=0)
             batch = jnp.asarray(images)
             if mesh is not None:
                 batch = jax.device_put(batch, batch_sharding(mesh))
@@ -225,7 +255,9 @@ def train(
                 lambda x, t: model.apply(params, x, t),
                 n=config.image_gen_n,
                 image_channels=config.image_channels,
-                key=random.fold_in(base_key, -epoch - 1),
+                # Disjoint key namespace from per-step keys (which count up
+                # from 0): epoch sampling keys live above 2^31.
+                key=random.fold_in(base_key, 2**31 + epoch),
             )
             save_image_grid(
                 np.asarray(final), os.path.join(config.results_dir(root), f"{epoch}.jpg")

@@ -1,0 +1,102 @@
+"""Data pipeline tests: MNIST-CSV loader, image-folder loader, resize parity
+with torch, deterministic dataloader shuffling."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from aliasfree_diffusion_models_pytorch_tpu.data import (
+    Dataloader,
+    get_data,
+    load_image_folder,
+    load_mnist_csv,
+    resize_bilinear_np,
+    synthetic_dataset,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def test_resize_matches_torch_interpolate():
+    """28→32 bilinear upscale must match torch F.interpolate
+    (align_corners=False, the torchvision tensor-Resize convention;
+    antialias is a no-op when upscaling)."""
+    x = RNG.standard_normal((3, 28, 28, 1)).astype(np.float32)
+    ours = resize_bilinear_np(x, 32)
+    t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    want = TF.interpolate(t, size=32, mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(
+        ours, np.transpose(want.numpy(), (0, 2, 3, 1)), atol=1e-5
+    )
+    want_aa = TF.interpolate(t, size=32, mode="bilinear", align_corners=False,
+                             antialias=True)
+    np.testing.assert_allclose(
+        ours, np.transpose(want_aa.numpy(), (0, 2, 3, 1)), atol=1e-5
+    )
+
+
+def test_mnist_csv_loader(tmp_path):
+    """CSV → /255 → resize 32 → normalize to [-1, 1] (modules/utils.py:55-82)."""
+    n = 12
+    labels = RNG.integers(0, 10, n)
+    pixels = RNG.integers(0, 256, (n, 784))
+    csv_path = tmp_path / "mnist.csv"
+    header = ",".join(["label"] + [f"p{i}" for i in range(784)])
+    rows = [",".join(map(str, [l] + list(p))) for l, p in zip(labels, pixels)]
+    csv_path.write_text("\n".join([header] + rows))
+
+    ds = load_mnist_csv(str(csv_path), image_size=32)
+    assert ds.images.shape == (n, 32, 32, 1)
+    assert ds.images.dtype == np.float32
+    np.testing.assert_array_equal(ds.labels, labels)
+    assert ds.images.min() >= -1.0 - 1e-6 and ds.images.max() <= 1.0 + 1e-6
+    # Torch-oracle value check on one image.
+    t = torch.from_numpy((pixels[0].astype(np.float32) / 255.0).reshape(1, 1, 28, 28))
+    want = TF.interpolate(t, size=32, mode="bilinear", align_corners=False)
+    want = (want - 0.5) / 0.5
+    np.testing.assert_allclose(ds.images[0, :, :, 0], want[0, 0].numpy(), atol=1e-5)
+
+
+def test_image_folder_loader(tmp_path):
+    from PIL import Image
+
+    for cls in ["cat", "dog"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            arr = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"img_{i}.png")
+    ds = load_image_folder(str(tmp_path), image_size=32)
+    assert ds.images.shape == (6, 32, 32, 3)
+    assert set(ds.labels.tolist()) == {0, 1}
+    assert -1.0 <= ds.images.min() and ds.images.max() <= 1.0
+
+
+def test_dataloader_determinism_and_epochs():
+    ds = synthetic_dataset(n=10, image_size=8)
+    dl1 = Dataloader(ds, batch_size=4, seed=5)
+    dl2 = Dataloader(ds, batch_size=4, seed=5)
+    b1 = [b for b, _ in dl1]
+    b2 = [b for b, _ in dl2]
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
+    assert [len(b) for b in b1] == [4, 4, 2]  # drop_last=False keeps the tail
+    # Next epoch reshuffles.
+    b3 = [b for b, _ in dl1]
+    assert not all(np.array_equal(a, b) for a, b in zip(b1, b3))
+
+
+def test_dataloader_drop_last():
+    ds = synthetic_dataset(n=10, image_size=8)
+    dl = Dataloader(ds, batch_size=4, drop_last=True)
+    assert [len(b) for b, _ in dl] == [4, 4]
+    assert len(dl) == 2
+
+
+def test_get_data_synthetic_fallback():
+    dl, ds = get_data("MNIST", "/nonexistent/path.csv", 32, 4,
+                      synthetic_fallback=True)
+    assert ds.images.shape[1:] == (32, 32, 1)
+    dl, ds = get_data("CIFAR10", None, 32, 4)
+    assert ds.images.shape[1:] == (32, 32, 3)

@@ -1,0 +1,158 @@
+"""IO (grid/collage/video), metric math, and config validation tests."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings, TrainConfig
+from aliasfree_diffusion_models_pytorch_tpu.eval import (
+    RandomFeatures,
+    calculate_metrics,
+    fid,
+    inception_score,
+    kid,
+)
+from aliasfree_diffusion_models_pytorch_tpu.utils.io import (
+    make_collage,
+    make_grid,
+    save_gen_images,
+    save_gif_frames,
+    save_image_grid,
+)
+
+RNG = np.random.default_rng(0)
+
+
+# ------------------------------- IO ----------------------------------------
+
+
+def test_make_grid_geometry():
+    imgs = RNG.integers(0, 256, (10, 8, 8, 3), dtype=np.uint8)
+    grid = make_grid(imgs, nrow=4, padding=2)
+    # 3 rows x 4 cols of 8px cells with 2px padding everywhere.
+    assert grid.shape == (2 + 3 * 10, 2 + 4 * 10, 3)
+
+
+def test_save_image_grid_and_gen_images(tmp_path):
+    imgs = RNG.integers(0, 256, (4, 8, 8, 1), dtype=np.uint8)
+    p = tmp_path / "grid.jpg"
+    save_image_grid(imgs, str(p))
+    assert p.exists()
+    save_gen_images(str(tmp_path / "gen"), imgs, np.arange(4))
+    assert sorted(os.listdir(tmp_path / "gen")) == [
+        f"image_{i}.png" for i in range(4)
+    ]
+
+
+def test_make_collage(tmp_path):
+    imgs = RNG.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    save_gen_images(str(tmp_path / "gen"), imgs, np.arange(4))
+    out = make_collage(str(tmp_path / "gen"), str(tmp_path / "col"), 4, 4, 8)
+    assert len(out) == 1 and os.path.exists(out[0])
+    from PIL import Image
+
+    assert Image.open(out[0]).size == (16, 16)
+
+
+def test_save_gif(tmp_path):
+    frames = [RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    path = save_gif_frames(frames, str(tmp_path / "anim"), fps=5)
+    assert os.path.exists(path) and path.endswith(".gif")
+
+
+# ------------------------------- metrics ------------------------------------
+
+
+def test_fid_zero_for_identical():
+    f = RNG.standard_normal((500, 16))
+    assert abs(fid(f, f)) < 1e-6
+
+
+def test_fid_grows_with_mean_shift():
+    f = RNG.standard_normal((2000, 8))
+    d1 = fid(f, f + 0.5)
+    d2 = fid(f, f + 2.0)
+    assert 0 < d1 < d2
+    # Pure mean shift of iid gaussians: FID ≈ |Δμ|².
+    assert abs(d1 - 8 * 0.25) < 0.1
+
+
+def test_inception_score_bounds():
+    uniform = np.full((100, 10), 0.1)
+    m, s = inception_score(uniform)
+    assert abs(m - 1.0) < 1e-6  # no information → IS = 1
+    onehot = np.eye(10)[RNG.integers(0, 10, 100)] * 0.999 + 1e-4
+    m2, _ = inception_score(onehot)
+    assert m2 > 5.0  # confident & diverse → IS near num_classes
+
+
+def test_kid_zero_for_identical_distribution():
+    f = RNG.standard_normal((600, 8))
+    m, s = kid(f, f, subsets=20, subset_size=100)
+    assert abs(m) < 0.05
+    m2, _ = kid(f, f + 1.0, subsets=20, subset_size=100)
+    assert m2 > m
+
+
+def test_calculate_metrics_shape():
+    a = RNG.integers(0, 256, (64, 16, 16, 3), dtype=np.uint8)
+    b = RNG.integers(0, 256, (64, 16, 16, 3), dtype=np.uint8)
+    m = calculate_metrics(a, b, RandomFeatures(seed=0))
+    assert {"feature_space", "inception_score_mean",
+            "frechet_inception_distance", "kernel_inception_distance_mean"} <= set(m)
+    assert m["feature_space"] == "random-conv"
+    assert np.isfinite(m["frechet_inception_distance"])
+
+
+# ------------------------------- config -------------------------------------
+
+
+def test_filter_settings_validation():
+    with pytest.raises(ValueError):
+        FilterSettings(kernel_size=0)
+    with pytest.raises(ValueError):
+        FilterSettings(omega_c_down=4.0)
+    assert FilterSettings.from_params({"f_kernel": None}) is None
+    fs = FilterSettings.from_params(
+        {"f_kernel": 3, "f_beta": 2.0, "f_down": math.pi / 2, "f_up": math.pi / 2}
+    )
+    assert fs.kernel_size == 3 and fs.kaiser_beta == 2.0
+
+
+def test_train_config_from_params_roundtrip():
+    """The reference Train.ipynb cell-4 params dict must load."""
+    params = {
+        "unet_v": 3, "epochs": 100, "batchsize": 16, "image_size": 32,
+        "image_channels": 1, "device": "cuda", "lr": 3e-4, "noise_steps": 1000,
+        "image_gen_per_epoch": 8, "f_kernel": 3, "f_beta": 2.0,
+        "f_down": math.pi / 2, "f_up": math.pi / 2, "gen_per_batch": 200,
+        "gen_total": 2000, "seed": 42, "collage_n_per_image": 400,
+        "collage_n": 2000, "dataset": "MNIST", "dataset_dir": "data/x.csv",
+        "save_trining": False,
+    }
+    c = TrainConfig.from_params(params)
+    assert c.run_name == "DDPM_Uncondtional_MNIST_3"  # reference typo preserved
+    assert c.variant == 3 and c.filters.kernel_size == 3
+    assert "kernel_size: 3" in c.settings_text()
+    assert c.checkpoint_path(".").endswith(
+        "models/DDPM_Uncondtional_MNIST_3/ckpt_MNIST_3"
+    )
+
+
+def test_train_config_validation():
+    with pytest.raises(ValueError, match="f_settings is empty"):
+        TrainConfig(variant=2, filters=None)
+    with pytest.raises(ValueError):
+        TrainConfig(variant=7, filters=FilterSettings())
+    with pytest.raises(ValueError):
+        TrainConfig(image_size=30)
+
+
+def test_cli_parses():
+    from aliasfree_diffusion_models_pytorch_tpu.cli import _config_from_args, main
+    import argparse
+
+    # info subcommand executes fully.
+    assert main(["info"]) == 0

@@ -1,0 +1,125 @@
+"""Multi-chip SPMD tests on the virtual 8-device CPU mesh.
+
+Validates that (a) the data-parallel train step produces the SAME numerics as
+the single-device step (XLA's psum-from-shardings is semantics-preserving),
+(b) FSDP-style state sharding compiles, runs, and actually distributes
+parameter shards, and (c) the sharded sampler runs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import random
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings, TrainConfig
+from aliasfree_diffusion_models_pytorch_tpu.data import synthetic_dataset
+from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+)
+from aliasfree_diffusion_models_pytorch_tpu.train import (
+    create_train_state,
+    make_train_step,
+    state_sharding_tree,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _config(**kw):
+    base = dict(
+        run_name="shard_test", epochs=1, batch_size=8, image_size=8,
+        image_channels=1, dataset="synthetic", dataset_path=None, lr=3e-4,
+        noise_steps=20, variant=3, filters=FilterSettings(), seed=0,
+        gen_total=0, use_pallas=False,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((4, 2), ("data", "fsdp"))
+    assert dict(mesh2.shape) == {"data": 4, "fsdp": 2}
+    with pytest.raises(ValueError):
+        make_mesh((3, 2), ("data", "fsdp"))
+
+
+def test_param_sharding_tree():
+    mesh = make_mesh((4, 2), ("data", "fsdp"))
+    params = {
+        "big": jnp.zeros((256, 128)),
+        "small": jnp.zeros((4,)),
+        "odd": jnp.zeros((33333,)),  # not divisible by 2 → replicated
+    }
+    tree = param_sharding(mesh, params, min_size=1024)
+    assert tree["big"].spec == P("fsdp", None)
+    assert tree["small"].spec == P()
+    assert tree["odd"].spec == P()
+
+
+def test_data_parallel_matches_single_device():
+    config = _config()
+    model, state1 = create_train_state(config, random.key(0))
+    _, state2 = create_train_state(config, random.key(0))
+    diffusion = Diffusion(noise_steps=20, img_size=8)
+    batch_np = synthetic_dataset(n=8, image_size=8, channels=1).images
+    key = random.key(7)
+
+    step_single = make_train_step(model, config, diffusion, mesh=None)
+    state1, loss1 = step_single(state1, jnp.asarray(batch_np), key)
+
+    mesh = make_mesh((8, 1), ("data", "fsdp"))
+    step_sharded = make_train_step(model, config, diffusion, mesh=mesh)
+    batch = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))
+    state2, loss2 = step_sharded(state2, batch, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fsdp_sharded_step_runs_and_shards():
+    config = _config(batch_size=8)
+    model, state = create_train_state(config, random.key(0))
+    diffusion = Diffusion(noise_steps=20, img_size=8)
+    mesh = make_mesh((4, 2), ("data", "fsdp"))
+    st_shard = state_sharding_tree(mesh, state)
+    state = jax.device_put(state, st_shard)
+
+    # At least one parameter must actually be sharded over fsdp.
+    specs = [s.spec for s in jax.tree.leaves(st_shard)]
+    assert any(spec != P() for spec in specs)
+
+    step = make_train_step(model, config, diffusion, mesh=mesh,
+                           state_shardings=st_shard)
+    batch = jax.device_put(
+        jnp.asarray(synthetic_dataset(n=8, image_size=8, channels=1).images),
+        batch_sharding(mesh),
+    )
+    state, loss = step(state, batch, random.key(1))
+    assert np.isfinite(float(loss))
+    # Verify a sharded leaf is physically distributed.
+    leaf = next(
+        l for l, s in zip(jax.tree.leaves(state), jax.tree.leaves(st_shard))
+        if s.spec != P()
+    )
+    assert len(leaf.sharding.device_set) > 1
+
+
+def test_sharded_sampling():
+    """Sampler over a data-sharded batch of latents."""
+    mesh = make_mesh()
+    d = Diffusion(noise_steps=11, img_size=8)
+    final, traj = d.sample(
+        lambda x, t: jnp.zeros_like(x), n=8, image_channels=1, key=random.key(0)
+    )
+    assert final.shape == (8, 8, 8, 1)

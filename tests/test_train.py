@@ -1,0 +1,115 @@
+"""Training-loop tests: step math, EMA semantics, checkpoint round-trip,
+loss actually decreases on a tiny overfit task."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings, TrainConfig
+from aliasfree_diffusion_models_pytorch_tpu.data import Dataloader, synthetic_dataset
+from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+from aliasfree_diffusion_models_pytorch_tpu.train import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    train,
+)
+
+
+def tiny_config(**kw) -> TrainConfig:
+    base = dict(
+        run_name="test_run",
+        epochs=1,
+        batch_size=4,
+        image_size=8,
+        image_channels=1,
+        dataset="synthetic",
+        dataset_path=None,
+        lr=3e-4,
+        noise_steps=50,
+        image_gen_n=2,
+        variant=0,
+        seed=0,
+        gen_total=0,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_optimizer_is_torch_adamw():
+    """optax.adamw defaults differ from torch — pin wd=1e-2, eps=1e-8."""
+    tx = make_optimizer(3e-4)
+    params = {"w": jnp.ones((4, 4))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4))}
+    updates, _ = tx.update(grads, state, params)
+    # After one step from zero moments: adam update = lr * (g/(1-b1)) /
+    # (sqrt(g^2/(1-b2)) + eps) = lr; plus weight decay lr*wd*w.
+    expect = -(3e-4 + 3e-4 * 1e-2 * 1.0)
+    np.testing.assert_allclose(np.asarray(updates["w"]), expect, rtol=1e-4)
+
+
+def test_train_step_decreases_loss():
+    config = tiny_config(epochs=1)
+    model, state = create_train_state(config, random.key(0))
+    diffusion = Diffusion(noise_steps=50, img_size=8)
+    step = make_train_step(model, config, diffusion)
+    ds = synthetic_dataset(n=8, image_size=8, channels=1)
+    batch = jnp.asarray(ds.images[:4])
+    losses = []
+    for i in range(30):
+        state, loss = step(state, batch, random.fold_in(random.key(1), i % 4))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert int(state.step) == 30
+
+
+def test_ema_semantics():
+    """Reference EMA: copy for first step_start_ema steps, then blend
+    (modules/ddpm_utils.py:42-47)."""
+    config = tiny_config(use_ema=True, ema_beta=0.5)
+    model, state = create_train_state(config, random.key(0))
+    diffusion = Diffusion(noise_steps=50, img_size=8)
+    step = make_train_step(model, config, diffusion)
+    batch = jnp.asarray(synthetic_dataset(n=4, image_size=8, channels=1).images)
+    state, _ = step(state, batch, random.key(2))
+    # step < 2000 → EMA params must equal the post-update params exactly.
+    for a, b in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_end_to_end_and_checkpoint(tmp_path):
+    config = tiny_config(epochs=2)
+    ds = synthetic_dataset(n=8, image_size=8, channels=1)
+    dl = Dataloader(ds, batch_size=4, seed=0)
+    losses = train(
+        config, dl, root=str(tmp_path), sample_each_epoch=False,
+        checkpoint_each_epoch=True,
+    )
+    assert len(losses) == 2
+    assert all(np.isfinite(l) for l in losses)
+    ckpt = config.checkpoint_path(str(tmp_path))
+    assert os.path.isdir(ckpt) or os.path.exists(ckpt + ".npz")
+
+    # Round-trip: restored params must match the in-memory final state.
+    from aliasfree_diffusion_models_pytorch_tpu.tasks import _load_model_params
+
+    model, params = _load_model_params(config, str(tmp_path))
+    x = jnp.zeros((1, 8, 8, 1))
+    out = model.apply(params, x, jnp.array([10]))
+    assert out.shape == (1, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_with_sampling_writes_grid(tmp_path):
+    config = tiny_config(epochs=1, noise_steps=11)
+    ds = synthetic_dataset(n=4, image_size=8, channels=1)
+    dl = Dataloader(ds, batch_size=4, seed=0)
+    train(config, dl, root=str(tmp_path), sample_each_epoch=True,
+          checkpoint_each_epoch=False)
+    assert os.path.exists(os.path.join(config.results_dir(str(tmp_path)), "0.jpg"))
