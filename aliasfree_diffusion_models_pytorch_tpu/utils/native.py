@@ -1,0 +1,110 @@
+"""ctypes bindings to the native (C++) data-loading runtime.
+
+Wraps ``native/build/libafdm_native.so`` (see ``native/csv_loader.cpp``):
+fast single-pass CSV parsing, deterministic Fisher-Yates permutations, and
+batch gathering. Everything degrades gracefully to the pure-numpy path when
+the library isn't built — the framework never *requires* the native layer,
+it just gets faster with it (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+
+import numpy as np
+
+_LIB_CANDIDATES = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
+                 "libafdm_native.so"),
+    os.environ.get("AFDM_NATIVE_LIB", ""),
+)
+
+
+@functools.lru_cache(maxsize=1)
+def load_native():
+    """Return the loaded CDLL or None."""
+    for cand in _LIB_CANDIDATES:
+        if cand and os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(os.path.abspath(cand))
+            except OSError:
+                continue
+            lib.afdm_csv_count_rows.restype = ctypes.c_int64
+            lib.afdm_csv_count_rows.argtypes = [ctypes.c_char_p]
+            lib.afdm_parse_label_pixel_csv.restype = ctypes.c_int64
+            lib.afdm_parse_label_pixel_csv.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            lib.afdm_shuffled_permutation.restype = None
+            lib.afdm_shuffled_permutation.argtypes = [
+                ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.afdm_gather_batch.restype = None
+            lib.afdm_gather_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            return lib
+    return None
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def parse_label_pixel_csv(path: str, cols: int = 784):
+    """(labels int32 [N], pixels float32 [N, cols] in [0,1]) via C++;
+    None if the native library is unavailable or parsing fails."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = lib.afdm_csv_count_rows(path.encode())
+    if n <= 0:
+        return None
+    labels = np.empty(n, np.int32)
+    pixels = np.empty((n, cols), np.float32)
+    got = lib.afdm_parse_label_pixel_csv(
+        path.encode(), cols,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pixels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+    )
+    if got <= 0:
+        return None
+    return labels[:got], pixels[:got]
+
+
+def shuffled_permutation(n: int, seed: int, epoch: int) -> np.ndarray | None:
+    lib = load_native()
+    if lib is None:
+        return None
+    out = np.empty(n, np.int64)
+    lib.afdm_shuffled_permutation(
+        n, seed, epoch, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    )
+    return out
+
+
+def gather_batch(images: np.ndarray, perm: np.ndarray, start: int,
+                 bsz: int) -> np.ndarray | None:
+    """Contiguous batch gather through the C++ path (images: [N, ...] f32)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(images.reshape(images.shape[0], -1))
+    stride = flat.shape[1]
+    out = np.empty((bsz, stride), np.float32)
+    lib.afdm_gather_batch(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.ascontiguousarray(perm, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        start, bsz, stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out.reshape((bsz,) + images.shape[1:])

@@ -1,0 +1,101 @@
+"""Native (C++) data-runtime tests: CSV parse parity vs pandas, deterministic
+permutations, batch gather, prefetch loader. Skipped when the shared library
+isn't built (``make -C native``)."""
+
+import numpy as np
+import pytest
+
+from aliasfree_diffusion_models_pytorch_tpu.data import (
+    Dataloader,
+    PrefetchLoader,
+    load_mnist_csv,
+    synthetic_dataset,
+)
+from aliasfree_diffusion_models_pytorch_tpu.utils.native import (
+    gather_batch,
+    native_available,
+    parse_label_pixel_csv,
+    shuffled_permutation,
+)
+
+RNG = np.random.default_rng(0)
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="native library not built"
+)
+
+
+def _write_csv(path, labels, pixels):
+    header = ",".join(["label"] + [f"p{i}" for i in range(pixels.shape[1])])
+    rows = [",".join(map(str, [l] + list(p))) for l, p in zip(labels, pixels)]
+    path.write_text("\n".join([header] + rows))
+
+
+@needs_native
+def test_csv_parse_matches_pandas(tmp_path):
+    import pandas as pd
+
+    labels = RNG.integers(0, 10, 50)
+    pixels = RNG.integers(0, 256, (50, 784))
+    p = tmp_path / "m.csv"
+    _write_csv(p, labels, pixels)
+
+    got_labels, got_pixels = parse_label_pixel_csv(str(p))
+    df = pd.read_csv(p)
+    np.testing.assert_array_equal(got_labels, df.iloc[:, 0].to_numpy())
+    np.testing.assert_allclose(
+        got_pixels, df.iloc[:, 1:].to_numpy().astype(np.float32) / 255.0, atol=1e-7
+    )
+
+
+@needs_native
+def test_csv_no_trailing_newline(tmp_path):
+    labels = RNG.integers(0, 10, 3)
+    pixels = RNG.integers(0, 256, (3, 784))
+    p = tmp_path / "m.csv"
+    _write_csv(p, labels, pixels)  # write_text has no trailing newline
+    got_labels, _ = parse_label_pixel_csv(str(p))
+    assert len(got_labels) == 3
+
+
+@needs_native
+def test_load_mnist_csv_uses_native_and_matches_fallback(tmp_path, monkeypatch):
+    labels = RNG.integers(0, 10, 8)
+    pixels = RNG.integers(0, 256, (8, 784))
+    p = tmp_path / "m.csv"
+    _write_csv(p, labels, pixels)
+    ds_native = load_mnist_csv(str(p))
+
+    import aliasfree_diffusion_models_pytorch_tpu.data as data_mod
+
+    monkeypatch.setattr(
+        "aliasfree_diffusion_models_pytorch_tpu.utils.native.parse_label_pixel_csv",
+        lambda *a, **k: None,
+    )
+    ds_pandas = load_mnist_csv(str(p))
+    np.testing.assert_allclose(ds_native.images, ds_pandas.images, atol=1e-6)
+    np.testing.assert_array_equal(ds_native.labels, ds_pandas.labels)
+
+
+@needs_native
+def test_permutation_and_gather():
+    perm = shuffled_permutation(257, seed=1, epoch=3)
+    assert sorted(perm.tolist()) == list(range(257))
+    assert not np.array_equal(perm, np.arange(257))
+    np.testing.assert_array_equal(perm, shuffled_permutation(257, 1, 3))
+    assert not np.array_equal(perm, shuffled_permutation(257, 1, 4))
+
+    imgs = RNG.standard_normal((257, 3, 3, 2)).astype(np.float32)
+    got = gather_batch(imgs, perm, 16, 32)
+    np.testing.assert_array_equal(got, imgs[perm[16:48]])
+
+
+def test_prefetch_loader_equivalence():
+    ds = synthetic_dataset(n=20, image_size=8)
+    dl = Dataloader(ds, batch_size=8, seed=3)
+    pf = PrefetchLoader(Dataloader(ds, batch_size=8, seed=3))
+    a = [x for x, _ in dl]
+    b = [x for x, _ in pf]
+    assert len(a) == len(b) == len(pf)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
