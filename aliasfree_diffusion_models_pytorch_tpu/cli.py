@@ -157,7 +157,8 @@ def main(argv=None) -> int:
 
         dl, _ = get_data(
             config.dataset, config.dataset_path, config.image_size,
-            config.batch_size, seed=config.seed, synthetic_fallback=True,
+            config.batch_size, image_channels=config.image_channels,
+            seed=config.seed, synthetic_fallback=True,
         )
         losses = train(config, dl, root=args.root)
         print(json.dumps({"final_loss": losses[-1] if losses else None}))

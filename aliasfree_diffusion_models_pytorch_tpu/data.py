@@ -229,6 +229,7 @@ def get_data(
     image_size: int,
     batch_size: int,
     *,
+    image_channels: int | None = None,
     seed: int = 0,
     drop_last: bool = False,
     synthetic_fallback: bool = False,
@@ -239,8 +240,8 @@ def get_data(
     if dataset_path is None or (
         synthetic_fallback and not os.path.exists(dataset_path)
     ):
-        ds = synthetic_dataset(image_size=image_size, seed=seed,
-                               channels=1 if dataset == "MNIST" else 3)
+        channels = image_channels or (1 if dataset == "MNIST" else 3)
+        ds = synthetic_dataset(image_size=image_size, seed=seed, channels=channels)
     elif dataset == "MNIST":
         ds = load_mnist_csv(dataset_path, image_size)
     else:

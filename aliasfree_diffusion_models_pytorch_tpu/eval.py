@@ -202,35 +202,18 @@ class RandomFeatures:
         return self._run(images_u8)[1]
 
 
-@dataclasses.dataclass
-class InceptionV3Features:
-    """Published-number-comparable path; needs local InceptionV3 weights.
+def InceptionV3Features(weights_path: str, batch_size: int = 64):
+    """Published-number-comparable extractor: the flax FID-Inception port.
 
-    Point ``weights_path`` at a torchvision ``inception_v3`` state dict or a
-    torch-fidelity ``pt_inception`` file cached on disk. This environment has
-    no network egress, so the extractor raises a clear error when the file is
-    absent rather than silently degrading.
+    Point ``weights_path`` at a locally cached torchvision
+    ``inception_v3`` / torch-fidelity ``pt_inception`` state dict (``.pt``)
+    or a converted ``.npz``. Raises ``FileNotFoundError`` with instructions
+    when absent (no network egress here); use :class:`RandomFeatures` for
+    offline relative comparisons. See ``eval_inception.py``.
     """
+    from aliasfree_diffusion_models_pytorch_tpu.eval_inception import InceptionV3Flax
 
-    weights_path: str | None = None
-    name: str = "inception-v3"
-
-    def _unavailable(self):
-        raise FileNotFoundError(
-            "InceptionV3 weights not found. FID/IS/KID comparable to published "
-            "numbers require torchvision's inception_v3 weights at "
-            f"weights_path={self.weights_path!r}. In offline environments use "
-            "RandomFeatures for relative A/B comparisons instead."
-        )
-
-    def features(self, images_u8: np.ndarray) -> np.ndarray:
-        if not (self.weights_path and os.path.exists(self.weights_path)):
-            self._unavailable()
-        raise NotImplementedError(
-            "InceptionV3 JAX port pending — tracked in PROGRESS notes"
-        )
-
-    logits = features
+    return InceptionV3Flax(weights_path, batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

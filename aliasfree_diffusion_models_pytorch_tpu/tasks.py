@@ -129,7 +129,8 @@ def ddpm_run(
     # 4. Data + noising visualization (ddpm_tasks.py:151-173).
     dataloader, dataset = get_data(
         config.dataset, config.dataset_path, config.image_size, config.batch_size,
-        seed=config.seed, synthetic_fallback=True,
+        image_channels=config.image_channels, seed=config.seed,
+        synthetic_fallback=True,
     )
     diffusion = Diffusion(
         noise_steps=config.noise_steps, beta_start=config.beta_start,

@@ -1,0 +1,165 @@
+"""Structural tests for the flax FID-Inception port.
+
+No pretrained weights exist in this environment, so these tests generate a
+random—but correctly shaped—torch-style state dict from the architecture
+table, push it through the converter, and validate the full forward pass
+(shapes, finiteness, batch independence) plus npz round-tripping.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aliasfree_diffusion_models_pytorch_tpu.eval_inception import (
+    convert_torch_state_dict,
+    inception_forward,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _conv_entries(prefix, cin, cout, kh, kw):
+    return {
+        f"{prefix}.conv.weight": RNG.standard_normal((cout, cin, kh, kw)).astype(np.float32) * 0.05,
+        f"{prefix}.bn.weight": np.ones(cout, np.float32),
+        f"{prefix}.bn.bias": np.zeros(cout, np.float32),
+        f"{prefix}.bn.running_mean": np.zeros(cout, np.float32),
+        f"{prefix}.bn.running_var": np.ones(cout, np.float32),
+        f"{prefix}.bn.num_batches_tracked": np.zeros((), np.int64),
+    }
+
+
+def _inception_a(prefix, cin, pf):
+    sd = {}
+    sd.update(_conv_entries(f"{prefix}.branch1x1", cin, 64, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch5x5_1", cin, 48, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch5x5_2", 48, 64, 5, 5))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_1", cin, 64, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_2", 64, 96, 3, 3))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_3", 96, 96, 3, 3))
+    sd.update(_conv_entries(f"{prefix}.branch_pool", cin, pf, 1, 1))
+    return sd, 64 + 64 + 96 + pf
+
+
+def _inception_b(prefix, cin):
+    sd = {}
+    sd.update(_conv_entries(f"{prefix}.branch3x3", cin, 384, 3, 3))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_1", cin, 64, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_2", 64, 96, 3, 3))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_3", 96, 96, 3, 3))
+    return sd, 384 + 96 + cin
+
+
+def _inception_c(prefix, cin, c7):
+    sd = {}
+    sd.update(_conv_entries(f"{prefix}.branch1x1", cin, 192, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7_1", cin, c7, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7_2", c7, c7, 1, 7))
+    sd.update(_conv_entries(f"{prefix}.branch7x7_3", c7, 192, 7, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7dbl_1", cin, c7, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7dbl_2", c7, c7, 7, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7dbl_3", c7, c7, 1, 7))
+    sd.update(_conv_entries(f"{prefix}.branch7x7dbl_4", c7, c7, 7, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7dbl_5", c7, 192, 1, 7))
+    sd.update(_conv_entries(f"{prefix}.branch_pool", cin, 192, 1, 1))
+    return sd, 768
+
+
+def _inception_d(prefix, cin):
+    sd = {}
+    sd.update(_conv_entries(f"{prefix}.branch3x3_1", cin, 192, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch3x3_2", 192, 320, 3, 3))
+    sd.update(_conv_entries(f"{prefix}.branch7x7x3_1", cin, 192, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7x3_2", 192, 192, 1, 7))
+    sd.update(_conv_entries(f"{prefix}.branch7x7x3_3", 192, 192, 7, 1))
+    sd.update(_conv_entries(f"{prefix}.branch7x7x3_4", 192, 192, 3, 3))
+    return sd, 320 + 192 + cin
+
+
+def _inception_e(prefix, cin):
+    sd = {}
+    sd.update(_conv_entries(f"{prefix}.branch1x1", cin, 320, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch3x3_1", cin, 384, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch3x3_2a", 384, 384, 1, 3))
+    sd.update(_conv_entries(f"{prefix}.branch3x3_2b", 384, 384, 3, 1))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_1", cin, 448, 1, 1))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_2", 448, 384, 3, 3))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_3a", 384, 384, 1, 3))
+    sd.update(_conv_entries(f"{prefix}.branch3x3dbl_3b", 384, 384, 3, 1))
+    sd.update(_conv_entries(f"{prefix}.branch_pool", cin, 192, 1, 1))
+    return sd, 2048
+
+
+def random_state_dict():
+    sd = {}
+    sd.update(_conv_entries("Conv2d_1a_3x3", 3, 32, 3, 3))
+    sd.update(_conv_entries("Conv2d_2a_3x3", 32, 32, 3, 3))
+    sd.update(_conv_entries("Conv2d_2b_3x3", 32, 64, 3, 3))
+    sd.update(_conv_entries("Conv2d_3b_1x1", 64, 80, 1, 1))
+    sd.update(_conv_entries("Conv2d_4a_3x3", 80, 192, 3, 3))
+    c = 192
+    for name, pf in [("Mixed_5b", 32), ("Mixed_5c", 64), ("Mixed_5d", 64)]:
+        s, c = _inception_a(name, c, pf)
+        sd.update(s)
+    s, c = _inception_b("Mixed_6a", c)
+    sd.update(s)
+    for name, c7 in [("Mixed_6b", 128), ("Mixed_6c", 160), ("Mixed_6d", 160),
+                     ("Mixed_6e", 192)]:
+        s, c = _inception_c(name, c, c7)
+        sd.update(s)
+    s, c = _inception_d("Mixed_7a", c)
+    sd.update(s)
+    s, c = _inception_e("Mixed_7b", c)
+    sd.update(s)
+    s, c = _inception_e("Mixed_7c", c)
+    sd.update(s)
+    sd["fc.weight"] = RNG.standard_normal((1008, 2048)).astype(np.float32) * 0.01
+    sd["fc.bias"] = np.zeros(1008, np.float32)
+    # Aux classifier keys must be ignored by the converter.
+    sd["AuxLogits.conv0.conv.weight"] = np.zeros((128, 768, 1, 1), np.float32)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def params():
+    return convert_torch_state_dict(random_state_dict())
+
+
+def test_converter_drops_aux_and_transposes(params):
+    assert not any(k.startswith("AuxLogits") for k in params)
+    assert params["Conv2d_1a_3x3"]["conv.weight"].shape == (3, 3, 3, 32)
+    assert params["fc"]["weight"].shape == (1008, 2048)
+
+
+def test_forward_shapes_and_finite(params):
+    x = jnp.asarray(RNG.standard_normal((2, 299, 299, 3)).astype(np.float32))
+    feats, logits = inception_forward(params, x)
+    assert feats.shape == (2, 2048)
+    assert logits.shape == (2, 1008)
+    assert np.isfinite(np.asarray(feats)).all()
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_forward_batch_independence(params):
+    x = RNG.standard_normal((2, 299, 299, 3)).astype(np.float32)
+    f2, _ = inception_forward(params, jnp.asarray(x))
+    f1, _ = inception_forward(params, jnp.asarray(x[:1]))
+    np.testing.assert_allclose(np.asarray(f1[0]), np.asarray(f2[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_npz_roundtrip(params, tmp_path):
+    from aliasfree_diffusion_models_pytorch_tpu.eval_inception import InceptionV3Flax
+
+    flat = {
+        f"{mod}|{leaf}": v
+        for mod, leaves in params.items()
+        for leaf, v in leaves.items()
+    }
+    npz = tmp_path / "w.npz"
+    np.savez(npz, **flat)
+    ex = InceptionV3Flax(str(npz), batch_size=2)
+    imgs = RNG.integers(0, 256, (2, 32, 32, 1), dtype=np.uint8)
+    feats = ex.features(imgs)
+    assert feats.shape == (2, 2048)

@@ -1,0 +1,86 @@
+"""End-to-end pipeline tests: ddpm_run produces every reference artifact;
+rotation/shift sweeps run from the written checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings, TrainConfig
+from aliasfree_diffusion_models_pytorch_tpu.tasks import (
+    ddpm_run,
+    rotation_results,
+    shift_results,
+)
+
+
+@pytest.fixture(scope="module")
+def run_result(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("run"))
+    config = TrainConfig(
+        run_name="DDPM_Uncondtional_synthetic_3",
+        epochs=1,
+        batch_size=4,
+        image_size=8,
+        image_channels=1,
+        dataset="synthetic",
+        dataset_path=None,
+        lr=3e-4,
+        noise_steps=11,
+        image_gen_n=2,
+        variant=3,
+        filters=FilterSettings(),
+        seed=0,
+        gen_per_batch=2,
+        gen_total=4,
+        collage_n_per_image=4,
+        collage_n=4,
+        use_pallas=False,
+    )
+    result = ddpm_run(config, root=root)
+    return config, root, result
+
+
+def test_ddpm_run_artifacts(run_result):
+    config, root, result = run_result
+    # Settings snapshot (reference runs/.../settings_*.txt).
+    assert os.path.exists(result["settings_path"])
+    text = open(result["settings_path"]).read()
+    assert "variant: 3" in text and "kernel_size: 3" in text
+    # Loss CSV with the reference's exact (typo'd) filename.
+    assert result["loss_csv"].endswith("trining_loss_MNIST_3.csv")
+    assert os.path.exists(result["loss_csv"])
+    assert len(result["loss_all"]) == config.epochs
+    # Diagnostics + demos.
+    runs = config.runs_dir(root)
+    for f in ["filter_circular_kaiser.png", "noising_chain.png",
+              "samples.png", "denoising.png", "loss.png"]:
+        assert os.path.exists(os.path.join(runs, f)), f
+    # Generated images + collage.
+    gen = result["gen_dir"]
+    assert sorted(os.listdir(gen))[:2] == ["image_0.png", "image_1.png"]
+    # Collages are written as sibling files prefixed by the gen dir path
+    # (reference make_collage contract: f"{savedir}_collage_{n}.png").
+    assert os.path.exists(gen + "_collage_0.png")
+    # Checkpoint exists.
+    ckpt = result["checkpoint"]
+    assert os.path.isdir(ckpt) or os.path.exists(ckpt + ".npz")
+
+
+def test_rotation_results_determinism(run_result):
+    config, root, _ = run_result
+    x_all, traj_all = rotation_results(config, [0.0, 45.0], root=root, n=2)
+    assert len(x_all) == 2
+    assert x_all[0].shape == (2, 8, 8, 1)
+    # θ=0 vs θ=45 share the same key → same initial latent, different result.
+    assert not np.array_equal(x_all[0], x_all[1])
+    # Determinism: rerun reproduces bit-identically.
+    x_again, _ = rotation_results(config, [0.0], root=root, n=2)
+    np.testing.assert_array_equal(x_all[0], x_again[0])
+
+
+def test_shift_results(run_result):
+    config, root, _ = run_result
+    outs = shift_results(config, [-2, 0, 2], root=root, n=1)
+    assert len(outs) == 3
+    assert outs[0].shape == (1, 8, 8, 1)
