@@ -84,22 +84,44 @@ def depthwise_fir(
     )
 
 
+def _auto_impl() -> str:
+    """Resampling implementation choice: 'conv' (grouped conv) vs 'shifts'
+    (strided slice+FMA, fully VPU-fusable). Overridable with
+    AFDM_RESAMPLE_IMPL; default chosen from TPU benchmarks
+    (benchmarks/sweep.py): shifts on TPU, conv elsewhere."""
+    import os
+
+    env = os.environ.get("AFDM_RESAMPLE_IMPL")
+    if env in ("conv", "shifts"):
+        return env
+    try:
+        return "shifts" if jax.default_backend() not in ("cpu",) else "conv"
+    except Exception:
+        return "conv"
+
+
 def downsample2x(
     x: jax.Array,
     taps,
     factor: int = 2,
     *,
     precision=lax.Precision.HIGHEST,
+    impl: str = "auto",
 ) -> jax.Array:
     """Alias-free downsample: depthwise low-pass FIR + decimate, fused.
 
     Matches ``custom_downsample`` (``modules/filtrs.py:71-77``): SAME conv
     then ``x[:, :, ::factor, ::factor]``. Because SAME-conv-then-decimate
     keeps exactly the conv outputs at positions ``0, factor, 2*factor, ...``,
-    it equals one strided conv with the same padding — a single XLA op.
+    it equals one strided conv with the same padding — a single XLA op
+    (``impl='conv'``) or k² fused strided FMAs (``impl='shifts'``).
     """
     c = x.shape[-1]
     kh, kw = np.asarray(taps).shape
+    if impl == "auto":
+        impl = _auto_impl()
+    if impl == "shifts" and kh == kw and kh % 2 == 1:
+        return downsample2x_shifts(x, taps, factor)
     return lax.conv_general_dilated(
         x,
         _conv_kernel(taps, c, x.dtype),
@@ -118,6 +140,7 @@ def upsample2x(
     gain: float = 1.0,
     *,
     precision=lax.Precision.HIGHEST,
+    impl: str = "auto",
 ) -> jax.Array:
     """Alias-free upsample: zero-stuff by ``factor`` + depthwise FIR, fused.
 
@@ -135,6 +158,10 @@ def upsample2x(
     if gain != 1.0:
         t = t * float(gain)
     kh, kw = t.shape
+    if impl == "auto":
+        impl = _auto_impl()
+    if impl == "shifts" and kh == kw and kh % 2 == 1 and factor == 2:
+        return upsample2x_shifts(x, t, factor)
     (hlo, hhi), (wlo, whi) = same_pad(kh), same_pad(kw)
     return lax.conv_general_dilated(
         x,
@@ -179,6 +206,82 @@ def maxpool2x(x: jax.Array) -> jax.Array:
         window_strides=(1, 2, 2, 1),
         padding="VALID",
     )
+
+
+def _taps_list(taps) -> list[list[float]]:
+    t = np.asarray(taps)
+    return [[float(v) for v in row] for row in t]
+
+
+def downsample2x_shifts(
+    x: jax.Array, taps, factor: int = 2
+) -> jax.Array:
+    """Shifted-add formulation of :func:`downsample2x` (odd kernels).
+
+    Depthwise convs don't use the MXU; expressing the k x k FIR as k² strided
+    slice+FMA ops lets XLA fuse the whole filter into elementwise VPU code.
+    Numerically identical to the conv path (tested); selected via
+    ``impl='shifts'`` where benchmarked faster.
+    """
+    t = _taps_list(taps)
+    k = len(t)
+    lo, hi = same_pad(k)
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+    out = None
+    for a in range(k):
+        for b in range(k):
+            sl = lax.slice(
+                xp, (0, a, b, 0), (n, a + h, b + w, c),
+                strides=(1, factor, factor, 1),
+            )
+            term = t[a][b] * sl
+            out = term if out is None else out + term
+    return out
+
+
+def upsample2x_shifts(
+    x: jax.Array, taps, factor: int = 2, gain: float = 1.0
+) -> jax.Array:
+    """Polyphase shifted-add formulation of :func:`upsample2x` (odd k, f=2).
+
+    Computes each of the 4 output parity phases directly from ``x`` (the
+    zero-stuffed tensor never exists) and interleaves with reshapes. Same
+    numerics as the conv path; no depthwise-conv lowering.
+    """
+    if factor != 2:
+        return upsample2x(x, taps, factor, gain)
+    t = _taps_list(np.asarray(taps) * float(gain))
+    k = len(t)
+    p = k // 2
+    n, h, w, c = x.shape
+    m = max(p, 1)
+    xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (0, 0)))
+
+    def shift(r, s):
+        return lax.slice(xp, (0, m + r, m + s, 0), (n, m + r + h, m + s + w, c))
+
+    phases = {}
+    for a in (0, 1):
+        for b in (0, 1):
+            acc = None
+            for dy in range(k):
+                if (a + dy - p) % 2:
+                    continue
+                for dx in range(k):
+                    if (b + dx - p) % 2:
+                        continue
+                    term = t[dy][dx] * shift((a + dy - p) // 2, (b + dx - p) // 2)
+                    acc = term if acc is None else acc + term
+            phases[(a, b)] = (
+                acc if acc is not None else jnp.zeros((n, h, w, c), x.dtype)
+            )
+    cols = []
+    for b in (0, 1):
+        interleaved_h = jnp.stack([phases[(0, b)], phases[(1, b)]], axis=2)
+        cols.append(interleaved_h.reshape(n, 2 * h, w, c))
+    y = jnp.stack(cols, axis=3).reshape(n, 2 * h, 2 * w, c)
+    return y
 
 
 def resize_matrix_1d(

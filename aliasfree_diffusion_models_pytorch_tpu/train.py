@@ -76,6 +76,7 @@ def make_optimizer(lr: float) -> optax.GradientTransformation:
 
 
 def build_model(config: TrainConfig) -> UNet:
+    bf16 = config.compute_dtype != "float32"
     return UNet(
         c_in=config.image_channels,
         c_out=config.image_channels,
@@ -84,10 +85,39 @@ def build_model(config: TrainConfig) -> UNet:
         filters=config.filters,
         variant=config.variant,
         use_pallas=config.use_pallas,
-        dtype=jnp.dtype(config.compute_dtype)
-        if config.compute_dtype != "float32"
-        else None,
+        dtype=jnp.dtype(config.compute_dtype) if bf16 else None,
+        # fp32 pins HIGHEST matmul precision (torch parity); bf16 uses the
+        # backend default — the MXU-native single-pass path.
+        precision=None if bf16 else jax.lax.Precision.HIGHEST,
     )
+
+
+class EMA:
+    """Reference-API EMA helper operating on param pytrees.
+
+    Mirrors ``modules/ddpm_utils.py:26-51``: ``step_ema`` copies the model
+    params for the first ``step_start_ema`` steps, then blends
+    ``old*beta + new*(1-beta)``. The training loop uses the fused in-step
+    version (``make_train_step``); this class exists for users porting
+    reference code that drives EMA manually.
+    """
+
+    def __init__(self, beta: float):
+        self.beta = beta
+        self.step = 0
+
+    def update_model_average(self, ema_params, params):
+        return jax.tree.map(
+            lambda old, new: old * self.beta + (1.0 - self.beta) * new,
+            ema_params, params,
+        )
+
+    def step_ema(self, ema_params, params, step_start_ema: int = 2000):
+        if self.step < step_start_ema:
+            self.step += 1
+            return jax.tree.map(jnp.copy, params)
+        self.step += 1
+        return self.update_model_average(ema_params, params)
 
 
 def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[UNet, TrainState]:

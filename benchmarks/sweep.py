@@ -16,7 +16,8 @@ import time
 
 
 def time_config(label, *, variant, compute_dtype, use_pallas, precision,
-                batch, steps):
+                batch, steps, resample_impl="conv"):
+    os.environ["AFDM_RESAMPLE_IMPL"] = resample_impl
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -102,18 +103,16 @@ def main():
     args = ap.parse_args()
 
     grid = [
-        ("v3 bf16 pallas+highest", dict(variant=3, compute_dtype="bfloat16",
-                                        use_pallas=True, precision="highest")),
         ("v3 bf16 pallas+default", dict(variant=3, compute_dtype="bfloat16",
                                         use_pallas=True, precision="default")),
         ("v3 bf16 xla+default", dict(variant=3, compute_dtype="bfloat16",
                                      use_pallas=False, precision="default")),
-        ("v3 fp32 xla+highest", dict(variant=3, compute_dtype="float32",
-                                     use_pallas=False, precision="highest")),
-        ("v0 bf16 default", dict(variant=0, compute_dtype="bfloat16",
-                                 use_pallas=False, precision="default")),
-        ("v0 fp32 highest", dict(variant=0, compute_dtype="float32",
-                                 use_pallas=False, precision="highest")),
+        ("v3 bf16 shifts+default", dict(variant=3, compute_dtype="bfloat16",
+                                        use_pallas=False, precision="default",
+                                        resample_impl="shifts")),
+        ("v0 bf16 shifts", dict(variant=0, compute_dtype="bfloat16",
+                                use_pallas=False, precision="default",
+                                resample_impl="shifts")),
     ]
     if args.quick:
         grid = grid[:3]

@@ -119,3 +119,28 @@ def test_bilinear_align_corners_matches_torch(x4d):
         TF.interpolate(nchw(x4d), scale_factor=2, mode="bilinear", align_corners=True)
     )
     np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_downsample_shifts_impl_matches_conv(taps, x4d, factor):
+    from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
+        downsample2x_shifts,
+    )
+
+    if np.asarray(taps).shape[0] % 2 == 0:
+        pytest.skip("shifts impl supports odd kernels")
+    want = np.asarray(downsample2x(jnp.asarray(x4d), taps, factor, impl="conv"))
+    got = np.asarray(downsample2x_shifts(jnp.asarray(x4d), taps, factor))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+def test_upsample_shifts_impl_matches_conv(taps, x4d):
+    from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
+        upsample2x_shifts,
+    )
+
+    if np.asarray(taps).shape[0] % 2 == 0:
+        pytest.skip("shifts impl supports odd kernels")
+    want = np.asarray(upsample2x(jnp.asarray(x4d), taps, 2, impl="conv"))
+    got = np.asarray(upsample2x_shifts(jnp.asarray(x4d), taps, 2))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
