@@ -43,8 +43,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="expose the README's non-normalized kernel configs")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--use-ema", action="store_true")
-    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="enable the fused Pallas filtered-GELU kernel")
     p.add_argument("--root", default=".", help="artifact root directory")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an XLA profiler trace of a few train steps here")
     p.add_argument("--image-gen-per-epoch", type=int, default=4)
     p.add_argument("--gen-per-batch", type=int, default=200)
     p.add_argument("--gen-total", type=int, default=2000)
@@ -83,7 +86,7 @@ def _config_from_args(args) -> "TrainConfig":
         gen_total=args.gen_total,
         compute_dtype=args.compute_dtype,
         use_ema=args.use_ema,
-        use_pallas=not args.no_pallas,
+        use_pallas=args.pallas,
     )
 
 
@@ -160,7 +163,7 @@ def main(argv=None) -> int:
             config.batch_size, image_channels=config.image_channels,
             seed=config.seed, synthetic_fallback=True,
         )
-        losses = train(config, dl, root=args.root)
+        losses = train(config, dl, root=args.root, profile_dir=args.profile_dir)
         print(json.dumps({"final_loss": losses[-1] if losses else None}))
         return 0
 

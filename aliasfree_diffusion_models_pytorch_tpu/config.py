@@ -108,9 +108,17 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
     use_ema: bool = False  # reference EMA class exists but is never wired in
     ema_beta: float = 0.995
-    use_pallas: bool = True  # fused Pallas kernels on the resampling hot path
+    # Fused Pallas filtered-GELU kernel: opt-in. Measured on TPU v5e
+    # (benchmarks/sweep.py, batch 256, variant 3): XLA path 57.4 ms/step vs
+    # Pallas 83.7 ms/step — XLA's conv fusion wins at these 32x32 shapes, so
+    # the kernel stays available (and tested) but off by default.
+    use_pallas: bool = False
     checkpoint_opt_state: bool = False  # reference saves weights only
     time_dim: int = 256
+    # Class-conditional mode: the reference defines the conditional UNet
+    # (modules/ddpm_models.py:253-258) but its pipeline never trains it;
+    # here it is a first-class option (labels flow from the dataloader).
+    num_classes: int | None = None
 
     def __post_init__(self) -> None:
         if not 0 <= self.variant <= 4:

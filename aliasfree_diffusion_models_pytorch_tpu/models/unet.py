@@ -81,8 +81,15 @@ def _time_embedding_table(table_size: int, channels: int) -> np.ndarray:
     reduction loses ~1e-3 accuracy at args ≈ t_max (torch's libm sin does
     not) — and turns the per-step transcendentals into a single gather.
     """
+    # inv_freq is computed in float64 and correctly rounded to float32
+    # (torch's own fp32 pow rounds ~15% of values 1 ulp differently — at
+    # t~1000 that amplifies to ~1e-4 in the angle, the agreed tolerance in
+    # tests); sin/cos are evaluated in float64 where torch's libm is accurate
+    # and XLA's fast-path sin is not.
     t = np.arange(table_size, dtype=np.float64)[:, None]
-    inv_freq = 1.0 / (10000.0 ** (np.arange(0, channels, 2) / channels))
+    inv_freq = (
+        1.0 / (10000.0 ** (np.arange(0, channels, 2, dtype=np.float64) / channels))
+    ).astype(np.float32).astype(np.float64)
     ang = t * inv_freq[None, :]
     return np.concatenate([np.sin(ang), np.cos(ang)], axis=-1).astype(np.float32)
 

@@ -86,18 +86,16 @@ def depthwise_fir(
 
 def _auto_impl() -> str:
     """Resampling implementation choice: 'conv' (grouped conv) vs 'shifts'
-    (strided slice+FMA, fully VPU-fusable). Overridable with
-    AFDM_RESAMPLE_IMPL; default chosen from TPU benchmarks
-    (benchmarks/sweep.py): shifts on TPU, conv elsewhere."""
+    (strided slice+FMA). Overridable with AFDM_RESAMPLE_IMPL. Default is
+    'conv' on every backend — measured on TPU v5e (benchmarks/sweep.py,
+    batch 256, variant 3): conv 57.4 ms/step vs shifts 100.5 ms/step; XLA's
+    grouped-conv lowering beats the hand-written slice+FMA chain."""
     import os
 
     env = os.environ.get("AFDM_RESAMPLE_IMPL")
     if env in ("conv", "shifts"):
         return env
-    try:
-        return "shifts" if jax.default_backend() not in ("cpu",) else "conv"
-    except Exception:
-        return "conv"
+    return "conv"
 
 
 def downsample2x(

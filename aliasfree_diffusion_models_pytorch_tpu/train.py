@@ -84,6 +84,7 @@ def build_model(config: TrainConfig) -> UNet:
         time_dim=config.time_dim,
         filters=config.filters,
         variant=config.variant,
+        num_classes=config.num_classes,
         use_pallas=config.use_pallas,
         dtype=jnp.dtype(config.compute_dtype) if bf16 else None,
         # fp32 pins HIGHEST matmul precision (torch parity); bf16 uses the
@@ -162,15 +163,19 @@ def make_train_step(
     use_ema = config.use_ema
     step_start_ema = 2000  # reference default (modules/ddpm_utils.py:42)
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, labels):
         tkey, nkey = random.split(key)
         t = diffusion.sample_timesteps(tkey, batch.shape[0])
         x_t, noise = diffusion.noise_images(batch, t, nkey)
-        pred = model.apply(params, x_t, t)
+        if labels is None:
+            pred = model.apply(params, x_t, t)
+        else:
+            pred = model.apply(params, x_t, t, labels)
         return jnp.mean((noise - pred.astype(jnp.float32)) ** 2)
 
-    def step_fn(state: TrainState, batch: jax.Array, key: jax.Array):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+    def step_fn(state: TrainState, batch: jax.Array, key: jax.Array,
+                labels: jax.Array | None = None):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key, labels)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if use_ema:
@@ -193,12 +198,19 @@ def make_train_step(
     rep = replicated(mesh)
     # A single NamedSharding broadcasts over the whole state pytree.
     st = state_shardings if state_shardings is not None else rep
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
-        in_shardings=(st, batch_sharding(mesh), rep),
+        in_shardings=(st, batch_sharding(mesh), rep, batch_sharding(mesh, ndim=1)),
         out_shardings=(st, rep),
         donate_argnums=0,
     )
+
+    # in_shardings must match the positional-arg count exactly, so normalize
+    # the optional-labels calling convention here.
+    def sharded_step(state, batch, key, labels=None):
+        return jitted(state, batch, key, labels)
+
+    return sharded_step
 
 
 def train(
@@ -210,6 +222,8 @@ def train(
     sample_each_epoch: bool = True,
     checkpoint_each_epoch: bool = True,
     log_every: int = 50,
+    profile_dir: str | None = None,
+    profile_steps: tuple[int, int] = (10, 20),
 ) -> list[float]:
     """Full training run; returns per-epoch mean losses (reference contract).
 
@@ -249,9 +263,13 @@ def train(
     global_step = 0
     for epoch in range(config.epochs):
         logger.info("Starting epoch %d:", epoch)
-        epoch_loss, nbatches = 0.0, 0
+        # Losses stay on device until epoch end — the reference's per-step
+        # ``loss.item()`` (``modules/ddpm_utils.py:508``) forces a host sync
+        # every step and serializes dispatch; deferring the transfer lets
+        # JAX's async dispatch pipeline host batch prep with device compute.
+        epoch_losses: list[jax.Array] = []
         t_start, imgs = time.perf_counter(), 0
-        for images, _ in dataloader:
+        for images, lbls in dataloader:
             if mesh is not None and images.shape[0] % data_div != 0:
                 # Pad the trailing partial batch up to a shardable size by
                 # repeating leading samples (only reachable with
@@ -260,12 +278,24 @@ def train(
                 # reference's partial-batch training).
                 pad = data_div - images.shape[0] % data_div
                 images = np.concatenate([images, images[:pad]], axis=0)
+                lbls = np.concatenate([lbls, lbls[:pad]], axis=0)
             batch = jnp.asarray(images)
+            labels = jnp.asarray(lbls) if config.num_classes else None
             if mesh is not None:
                 batch = jax.device_put(batch, batch_sharding(mesh))
-            state, loss = step_fn(state, batch, random.fold_in(base_key, global_step))
-            epoch_loss += float(loss)
-            nbatches += 1
+                if labels is not None:
+                    labels = jax.device_put(labels, batch_sharding(mesh, ndim=1))
+            # Optional XLA/TPU profiler capture over a step window
+            # (view with the TensorBoard profile plugin).
+            if profile_dir is not None and global_step == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+            state, loss = step_fn(
+                state, batch, random.fold_in(base_key, global_step), labels
+            )
+            if profile_dir is not None and global_step == profile_steps[1]:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+            epoch_losses.append(loss)
             imgs += images.shape[0]
             global_step += 1
             if global_step % log_every == 0:
@@ -274,7 +304,9 @@ def train(
                     "epoch %d step %d loss %.4f (%.1f imgs/s)",
                     epoch, global_step, float(loss), imgs / max(dt, 1e-9),
                 )
-        loss_all.append(epoch_loss / max(nbatches, 1))
+        loss_all.append(
+            float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
+        )
 
         if sample_each_epoch:
             # The reference's *intended* per-epoch artifact: a grid of the

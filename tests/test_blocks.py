@@ -64,7 +64,10 @@ def test_time_embedding_matches_torch():
         [torch.sin(t.repeat(1, 128) * inv), torch.cos(t.repeat(1, 128) * inv)], dim=-1
     ).numpy()
     ours = np.asarray(sinusoidal_time_embedding(jnp.array([999, 500, 3, 1]), 256))
-    np.testing.assert_allclose(ours, ref, atol=2e-5)
+    # 2e-4: torch's fp32 pow rounds some inv_freq values 1 ulp differently
+    # than the correctly-rounded float64 path; at t=999 that amplifies into
+    # the angle (see _time_embedding_table docstring).
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
 def test_selfattention_matches_torch():

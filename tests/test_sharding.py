@@ -83,8 +83,11 @@ def test_data_parallel_matches_single_device():
     state2, loss2 = step_sharded(state2, batch, key)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # 1e-4: the cross-device psum reduces gradients in a different order
+    # than the single-device sum; near-zero first-step gradients are then
+    # amplified by Adam's g/(sqrt(g^2)+eps) normalization.
     for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_fsdp_sharded_step_runs_and_shards():

@@ -113,3 +113,23 @@ def test_train_with_sampling_writes_grid(tmp_path):
     train(config, dl, root=str(tmp_path), sample_each_epoch=True,
           checkpoint_each_epoch=False)
     assert os.path.exists(os.path.join(config.results_dir(str(tmp_path)), "0.jpg"))
+
+
+def test_conditional_training_runs():
+    """Conditional mode: labels flow through the train step and change the
+    loss (label embedding is used)."""
+    from jax import random as jrandom
+
+    config = tiny_config(num_classes=10)
+    model, state = create_train_state(config, jrandom.key(0))
+    diffusion = Diffusion(noise_steps=50, img_size=8)
+    step = make_train_step(model, config, diffusion)
+    ds = synthetic_dataset(n=4, image_size=8, channels=1)
+    batch = jnp.asarray(ds.images)
+    labels = jnp.asarray(ds.labels)
+    state, loss1 = step(state, batch, jrandom.key(1), labels)
+    assert np.isfinite(float(loss1))
+    # Same inputs, different labels → different loss (embedding matters).
+    _, state2 = create_train_state(config, jrandom.key(0))
+    _, loss2 = step(state2, batch, jrandom.key(1), (labels + 3) % 10)
+    assert float(loss1) != float(loss2)
