@@ -23,6 +23,7 @@ TPU-native deltas:
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
 import time
@@ -257,6 +258,10 @@ def train(
 
     os.makedirs(config.results_dir(root), exist_ok=True)
     os.makedirs(config.model_dir(root), exist_ok=True)
+    os.makedirs(config.runs_dir(root), exist_ok=True)
+    # Structured metrics stream (SURVEY §5.5): one JSON object per log point.
+    metrics_path = os.path.join(config.runs_dir(root), "metrics.jsonl")
+    metrics_f = open(metrics_path, "a")
 
     base_key = random.key(config.seed + 1)
     loss_all: list[float] = []
@@ -300,10 +305,24 @@ def train(
             global_step += 1
             if global_step % log_every == 0:
                 dt = time.perf_counter() - t_start
+                rate = imgs / max(dt, 1e-9)
                 logger.info(
                     "epoch %d step %d loss %.4f (%.1f imgs/s)",
-                    epoch, global_step, float(loss), imgs / max(dt, 1e-9),
+                    epoch, global_step, float(loss), rate,
                 )
+                metrics_f.write(
+                    json.dumps(
+                        {
+                            "epoch": epoch,
+                            "step": global_step,
+                            "loss": float(loss),
+                            "imgs_per_sec": round(rate, 1),
+                            "wall_s": round(dt, 2),
+                        }
+                    )
+                    + "\n"
+                )
+                metrics_f.flush()
         loss_all.append(
             float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
         )
@@ -330,4 +349,5 @@ def train(
                 state,
                 save_opt_state=config.checkpoint_opt_state,
             )
+    metrics_f.close()
     return loss_all
