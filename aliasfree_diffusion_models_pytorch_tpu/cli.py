@@ -179,9 +179,11 @@ def main(argv=None) -> int:
 
         model, params = _load_model_params(config, args.root)
         d = Diffusion(noise_steps=config.noise_steps, img_size=config.image_size)
+        apply_fn, params = _model_fn(model, params)
         final, _ = d.sample(
-            _model_fn(model, params), n=args.n,
+            apply_fn, n=args.n,
             image_channels=config.image_channels, key=random.key(config.seed),
+            params=params,
         )
         save_image_grid(np.asarray(final), args.out)
         print(f"wrote {args.out}")

@@ -25,6 +25,12 @@ RNG discipline: every sampler takes an explicit ``jax.random`` key. Passing
 the same key reproduces the same initial latent and per-step noise — that is
 what makes the reference's θ-sweep comparable (it re-seeds before every θ,
 ``modules/ddpm_tasks.py:364-366``), and it works identically here.
+
+Sampler calling convention: ``apply_fn(params, x, t) -> eps`` with ``params``
+a *traced* pytree argument — never a params-closing closure. A closure would
+make jit treat every weight as a compile-time constant: megabytes of literals
+in the HLO, minutes of compile, and a retrace for every new checkpoint.
+``ModelFn`` (closure style) is still accepted by passing ``params=None``.
 """
 
 from __future__ import annotations
@@ -39,7 +45,25 @@ from jax import lax, random
 
 from aliasfree_diffusion_models_pytorch_tpu.ops.rotation import rotate_nhwc, shift_nhwc
 
-ModelFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x_nhwc, t) -> eps
+ApplyFn = Callable[..., jax.Array]  # (params, x_nhwc, t) -> eps
+ModelFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x_nhwc, t) -> eps (legacy)
+
+
+def _normalize_model(model_fn, params):
+    """Accept either (apply_fn, params) or a legacy params-closing closure."""
+    if params is _NO_PARAMS:
+        return (lambda _p, x, t: model_fn(x, t)), None
+    return model_fn, params
+
+
+class _NoParams:
+    """Sentinel: distinguishes 'closure-style call' from params=None."""
+
+    def __repr__(self):
+        return "<no params>"
+
+
+_NO_PARAMS = _NoParams()
 
 
 class Diffusion:
@@ -88,7 +112,8 @@ class Diffusion:
 
     def _scan_sampler(
         self,
-        model_fn: ModelFn,
+        apply_fn: ApplyFn,
+        params,
         n: int,
         channels: int,
         *,
@@ -116,7 +141,7 @@ class Diffusion:
             x, key, snaps = carry
             key, nkey = random.split(key)
             t = jnp.full((n,), i, jnp.int32)
-            eps = model_fn(x, t)
+            eps = apply_fn(params, x, t)
             alpha = self.alpha[i]
             alpha_hat = self.alpha_hat[i]
             beta = self.beta[i]
@@ -150,13 +175,14 @@ class Diffusion:
 
     def _run(
         self,
-        model_fn: ModelFn,
+        apply_fn: ApplyFn,
+        params,
         n: int,
         channels: int,
         key: jax.Array,
         **kw,
     ):
-        steps, body, num_mid = self._scan_sampler(model_fn, n, channels, **kw)
+        steps, body, num_mid = self._scan_sampler(apply_fn, params, n, channels, **kw)
         key, xkey = random.split(key)
         x = random.normal(xkey, (n, self.img_size, self.img_size, channels))
         collect = kw.get("collect_trajectory", True)
@@ -174,12 +200,13 @@ class Diffusion:
 
     def sample(
         self,
-        model_fn: ModelFn,
+        model_fn,
         n: int,
         image_channels: int,
         key: jax.Array,
         theta: float | None = None,
         rotation_order: int = 3,
+        params=_NO_PARAMS,
     ):
         """Ancestral sampling; returns ``(final_uint8, trajectory_uint8)``.
 
@@ -189,40 +216,51 @@ class Diffusion:
         ``torch.cat(result)`` layout (``modules/ddpm_models.py:383``).
         With ``theta``, applies the Config-E per-step rotation.
         """
+        apply_fn, p = _normalize_model(model_fn, params)
         run = self._jitted_run(n, image_channels, theta, rotation_order, None, True)
-        x, snaps = run(model_fn, key)
+        x, snaps = run(apply_fn, p, key)
         traj = snaps.reshape((-1,) + snaps.shape[2:])
         return self.to_uint8(x), self.to_uint8(traj)
 
-    def revert(self, model_fn: ModelFn, n: int, image_channels: int, key: jax.Array):
+    def revert(self, model_fn, n: int, image_channels: int, key: jax.Array,
+               params=_NO_PARAMS):
         """Trajectory-only denoising demo (``modules/ddpm_models.py:326-350``)."""
+        apply_fn, p = _normalize_model(model_fn, params)
         run = self._jitted_run(n, image_channels, None, 3, None, True)
-        _, snaps = run(model_fn, key)
+        _, snaps = run(apply_fn, p, key)
         return self.to_uint8(snaps.reshape((-1,) + snaps.shape[2:]))
 
     def sample_shift(
         self,
-        model_fn: ModelFn,
+        model_fn,
         n: int,
         image_channels: int,
         key: jax.Array,
         shift: int | None = None,
+        params=_NO_PARAMS,
     ):
         """Translation-equivariant sampling (reference "under development")."""
         if shift == 0:
             shift = None
+        apply_fn, p = _normalize_model(model_fn, params)
         run = self._jitted_run(n, image_channels, None, 3, shift, False)
-        x, _ = run(model_fn, key)
+        x, _ = run(apply_fn, p, key)
         return self.to_uint8(x)
 
     @functools.lru_cache(maxsize=64)
     def _jitted_run(self, n, channels, theta, rotation_order, shift, collect):
-        """One compiled executable per static sampler configuration."""
+        """One compiled executable per static sampler configuration.
+
+        ``apply_fn`` is static (a stable function/bound method); ``params``
+        is a traced pytree, so new checkpoints do NOT retrace and weights are
+        not baked into the program as constants.
+        """
 
         @functools.partial(jax.jit, static_argnums=0)
-        def run(model_fn, key):
+        def run(apply_fn, params, key):
             return self._run(
-                model_fn,
+                apply_fn,
+                params,
                 n,
                 channels,
                 key,

@@ -64,7 +64,10 @@ def _load_model_params(config: TrainConfig, root: str):
 
 
 def _model_fn(model: UNet, params):
-    return lambda x, t: model.apply(params, x, t)
+    """(apply_fn, params) pair for the samplers — params stay a traced
+    argument (baking them into the jitted program as constants would mean
+    minutes of compile and a retrace per checkpoint)."""
+    return model.apply, params
 
 
 def ddpm_run(
@@ -156,11 +159,13 @@ def ddpm_run(
 
     # 6. Reload checkpoint; sample + denoise demos (ddpm_tasks.py:306-321).
     model, params = _load_model_params(config, root)
-    fn = _model_fn(model, params)
+    apply_fn, params = _model_fn(model, params)
     key = random.key(config.seed)
-    finals, _ = diffusion.sample(fn, n=6, image_channels=config.image_channels, key=key)
+    finals, _ = diffusion.sample(apply_fn, n=6, image_channels=config.image_channels,
+                                 key=key, params=params)
     plot_images(np.asarray(finals), os.path.join(runs_dir, "samples.png"))
-    traj = diffusion.revert(fn, n=1, image_channels=config.image_channels, key=key)
+    traj = diffusion.revert(apply_fn, n=1, image_channels=config.image_channels,
+                            key=key, params=params)
     plot_images(np.asarray(traj), os.path.join(runs_dir, "denoising.png"))
 
     # 7. Optional training-set export for FID reference (ddpm_tasks.py:325-329).
@@ -177,9 +182,10 @@ def ddpm_run(
         for start_no in range(0, config.gen_total, config.gen_per_batch):
             fileno = np.arange(start_no, start_no + config.gen_per_batch)
             x, _ = diffusion.sample(
-                fn, n=config.gen_per_batch,
+                apply_fn, n=config.gen_per_batch,
                 image_channels=config.image_channels,
                 key=random.fold_in(random.key(config.seed), start_no),
+                params=params,
             )
             save_gen_images(gen_dir, np.asarray(x), fileno)
         make_collage(
@@ -209,7 +215,7 @@ def rotation_results(
     initial noise, directly comparable rotations. Returns (finals, trajectories)
     lists of uint8 arrays."""
     model, params = _load_model_params(config, root)
-    fn = _model_fn(model, params)
+    apply_fn, params = _model_fn(model, params)
     diffusion = Diffusion(
         noise_steps=config.noise_steps, beta_start=config.beta_start,
         beta_end=config.beta_end, img_size=config.image_size,
@@ -218,8 +224,8 @@ def rotation_results(
     x_all, results_all = [], []
     for theta in thetas:
         x, results = diffusion.sample(
-            fn, n=n, image_channels=config.image_channels, key=key,
-            theta=float(theta), rotation_order=rotation_order,
+            apply_fn, n=n, image_channels=config.image_channels, key=key,
+            theta=float(theta), rotation_order=rotation_order, params=params,
         )
         x_all.append(np.asarray(x))
         results_all.append(np.asarray(results))
@@ -235,7 +241,7 @@ def shift_results(
 ):
     """Translation sweep (``ddpm_tasks.py:371-392``)."""
     model, params = _load_model_params(config, root)
-    fn = _model_fn(model, params)
+    apply_fn, params = _model_fn(model, params)
     diffusion = Diffusion(
         noise_steps=config.noise_steps, beta_start=config.beta_start,
         beta_end=config.beta_end, img_size=config.image_size,
@@ -244,8 +250,8 @@ def shift_results(
     return [
         np.asarray(
             diffusion.sample_shift(
-                fn, n=n, image_channels=config.image_channels, key=key,
-                shift=int(s),
+                apply_fn, n=n, image_channels=config.image_channels, key=key,
+                shift=int(s), params=params,
             )
         )
         for s in shifts

@@ -333,7 +333,8 @@ def train(
             # SURVEY.md §2.2).
             params = state.ema_params if config.use_ema else state.params
             final, _ = diffusion.sample(
-                lambda x, t: model.apply(params, x, t),
+                model.apply,
+                params=params,
                 n=config.image_gen_n,
                 image_channels=config.image_channels,
                 # Disjoint key namespace from per-step keys (which count up

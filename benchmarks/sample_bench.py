@@ -38,18 +38,17 @@ def main():
         precision=None if on_tpu else jax.lax.Precision.HIGHEST,
     )
     params = model.init_params(random.key(0), batch=1)
-    fn = lambda x, t: model.apply(params, x, t)
     d = Diffusion(noise_steps=args.steps, img_size=32)
 
     for theta, label in [(None, "sample_1000step"), (45.0, "sample_1000step_rotated")]:
         t0 = time.perf_counter()
-        final, _ = d.sample(fn, n=args.n, image_channels=args.channels,
-                            key=random.key(0), theta=theta)
+        final, _ = d.sample(model.apply, n=args.n, image_channels=args.channels,
+                            key=random.key(0), theta=theta, params=params)
         jax.block_until_ready(final)
         compile_and_run = time.perf_counter() - t0
         t0 = time.perf_counter()
-        final, _ = d.sample(fn, n=args.n, image_channels=args.channels,
-                            key=random.key(1), theta=theta)
+        final, _ = d.sample(model.apply, n=args.n, image_channels=args.channels,
+                            key=random.key(1), theta=theta, params=params)
         jax.block_until_ready(final)
         steady = time.perf_counter() - t0
         print(json.dumps({

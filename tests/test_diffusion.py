@@ -67,7 +67,7 @@ def test_scan_matches_eager_loop():
     key0 = random.key(42)
 
     run = d._jitted_run(n, c, None, 3, None, True)
-    x_scan, snaps_scan = run(_zero_model, key0)
+    x_scan, snaps_scan = run(lambda p, x, t: jnp.zeros_like(x), None, key0)
 
     # Eager reference with identical key usage.
     key, xkey = random.split(key0)
