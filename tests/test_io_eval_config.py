@@ -156,3 +156,16 @@ def test_cli_parses():
 
     # info subcommand executes fully.
     assert main(["info"]) == 0
+
+
+def test_cli_train_end_to_end(tmp_path):
+    """The `train` subcommand runs a tiny synthetic config to completion."""
+    from aliasfree_diffusion_models_pytorch_tpu.cli import main
+
+    rc = main([
+        "train", "--variant", "0", "--dataset", "synthetic",
+        "--image-size", "8", "--image-channels", "1", "--epochs", "1",
+        "--batch-size", "4", "--noise-steps", "11", "--seed", "0",
+        "--root", str(tmp_path), "--image-gen-per-epoch", "2",
+    ])
+    assert rc == 0
