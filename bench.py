@@ -33,6 +33,7 @@ def main() -> None:
     )
     from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
     from aliasfree_diffusion_models_pytorch_tpu.train import (
+        build_model,
         create_train_state,
         make_train_step,
     )
@@ -74,6 +75,27 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_steps / dt
+
+    # Secondary metric: 1000-step ancestral sampling wall-clock (the whole
+    # chain is one compiled lax.scan; rotated Config-E costs the same).
+    sample_wall = None
+    if on_tpu:
+        from jax import random as jrandom
+
+        diffusion_s = Diffusion(noise_steps=1000, img_size=32)
+        model = build_model(config)
+        sparams = model.init_params(jrandom.key(0), batch=1)
+        final, _ = diffusion_s.sample(
+            model.apply, n=16, image_channels=3, key=jrandom.key(0), params=sparams
+        )
+        jax.block_until_ready(final)  # compile
+        t0 = time.perf_counter()
+        final, _ = diffusion_s.sample(
+            model.apply, n=16, image_channels=3, key=jrandom.key(1), params=sparams
+        )
+        jax.block_until_ready(final)
+        sample_wall = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -86,6 +108,7 @@ def main() -> None:
                 "compute_dtype": config.compute_dtype,
                 "step_ms": round(1000 * dt / n_steps, 2),
                 "final_loss": float(loss),
+                "sample_1000step_n16_wall_s": sample_wall,
             }
         )
     )
