@@ -159,6 +159,93 @@ def _convert_attention(params: dict, sa: str, parts: list[str], v) -> None:
         raise KeyError(f"unrecognized attention parameter: {sa}.{'.'.join(parts)}")
 
 
+_DC_SEQ_INV = {"conv1": "0", "norm1": "1", "conv2": "3", "norm2": "4"}
+_FF_SELF_INV = {"ff_ln": "0", "ff1": "1", "ff2": "3"}
+
+
+def flax_to_torch(params: Mapping, variant: int) -> dict[str, np.ndarray]:
+    """Inverse of :func:`torch_to_flax`: export a params tree as a reference
+    state_dict (numpy values; wrap with ``torch.from_numpy`` to save).
+
+    ``variant`` determines the reference's naming scheme: plain DoubleConvs
+    serialize as ``double_conv.{0,1,3,4}`` Sequentials (variants 0-1 trunk /
+    0-1 stages), filtered ones by explicit member names; maxpool Down stages
+    (variants 0, 2) use ``maxpool_conv.{1,2}``, alias-free ones ``conv.{0,1}``.
+    Variant-4's dead stage-level ``norm1`` GroupNorms (present in reference
+    checkpoints but never applied) are synthesized as identity so
+    ``load_state_dict(strict=True)`` succeeds.
+    """
+    from aliasfree_diffusion_models_pytorch_tpu.models.unet import VARIANT_SPEC
+
+    down_rs, up_rs, stage_conv, trunk_conv = VARIANT_SPEC[variant]
+    tree = params.get("params", params)
+    out: dict[str, np.ndarray] = {}
+
+    def put_conv(prefix, node):
+        out[f"{prefix}.weight"] = np.asarray(node["conv"]["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in node["conv"]:
+            out[f"{prefix}.bias"] = np.asarray(node["conv"]["bias"])
+
+    def put_norm(prefix, node):
+        out[f"{prefix}.weight"] = np.asarray(node["gn"]["scale"])
+        out[f"{prefix}.bias"] = np.asarray(node["gn"]["bias"])
+
+    def put_doubleconv(prefix, node, conv_mode):
+        plain = conv_mode == "plain"
+        for slot in ("conv1", "norm1", "conv2", "norm2"):
+            name = f"{prefix}.double_conv.{_DC_SEQ_INV[slot]}" if plain \
+                else f"{prefix}.{slot}"
+            (put_conv if slot.startswith("conv") else put_norm)(name, node[slot])
+
+    def put_stage(prefix, node, is_down):
+        if is_down and down_rs == "maxpool":
+            slots = {"conv_res": "maxpool_conv.1", "conv_out": "maxpool_conv.2"}
+        else:
+            slots = {"conv_res": "conv.0", "conv_out": "conv.1"}
+        for ours, theirs in slots.items():
+            put_doubleconv(f"{prefix}.{theirs}", node[ours], stage_conv)
+        out[f"{prefix}.emb_layer.1.weight"] = np.asarray(
+            node["emb"]["proj"]["kernel"]).T
+        out[f"{prefix}.emb_layer.1.bias"] = np.asarray(node["emb"]["proj"]["bias"])
+        if variant == 4:
+            # Dead reference params (ddpm_utils.py:440,471): identity GroupNorm.
+            c = out[f"{prefix}.emb_layer.1.bias"].shape[0]
+            in_ch = node["conv_res"]["conv1"]["conv"]["kernel"].shape[2]
+            dead_c = in_ch if is_down else in_ch // 2
+            out[f"{prefix}.norm1.weight"] = np.ones(dead_c, np.float32)
+            out[f"{prefix}.norm1.bias"] = np.zeros(dead_c, np.float32)
+
+    def put_attention(prefix, node):
+        out[f"{prefix}.ln.weight"] = np.asarray(node["ln"]["scale"])
+        out[f"{prefix}.ln.bias"] = np.asarray(node["ln"]["bias"])
+        out[f"{prefix}.mha.in_proj_weight"] = np.asarray(node["qkv"]["kernel"]).T
+        out[f"{prefix}.mha.in_proj_bias"] = np.asarray(node["qkv"]["bias"])
+        out[f"{prefix}.mha.out_proj.weight"] = np.asarray(node["out"]["kernel"]).T
+        out[f"{prefix}.mha.out_proj.bias"] = np.asarray(node["out"]["bias"])
+        for ours, idx in _FF_SELF_INV.items():
+            n = node[ours]
+            if ours == "ff_ln":
+                out[f"{prefix}.ff_self.{idx}.weight"] = np.asarray(n["scale"])
+                out[f"{prefix}.ff_self.{idx}.bias"] = np.asarray(n["bias"])
+            else:
+                out[f"{prefix}.ff_self.{idx}.weight"] = np.asarray(n["kernel"]).T
+                out[f"{prefix}.ff_self.{idx}.bias"] = np.asarray(n["bias"])
+
+    put_doubleconv("inc", tree["inc"], trunk_conv)
+    for i in (1, 2, 3):
+        put_stage(f"down{i}", tree[f"down{i}"], is_down=True)
+        put_stage(f"up{i}", tree[f"up{i}"], is_down=False)
+    for i in (1, 2, 3):
+        put_doubleconv(f"bot{i}", tree[f"bot{i}"], trunk_conv)
+    for i in range(1, 7):
+        put_attention(f"sa{i}", tree[f"sa{i}"])
+    out["outc.weight"] = np.asarray(tree["outc"]["kernel"]).transpose(3, 2, 0, 1)
+    out["outc.bias"] = np.asarray(tree["outc"]["bias"])
+    if "label_emb" in tree:
+        out["label_emb.weight"] = np.asarray(tree["label_emb"]["embed"]["embedding"])
+    return out
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference ``.pt`` checkpoint file into a flax params tree.
 

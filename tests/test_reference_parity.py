@@ -115,3 +115,21 @@ def test_conditional_forward_parity():
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 3, 1, 2)), ref_out, atol=5e-4, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("variant", [0, 3, 4])
+def test_flax_to_torch_roundtrip(variant):
+    """Export back to a reference state_dict: loads strict=True and
+    round-trips numerically."""
+    from aliasfree_diffusion_models_pytorch_tpu.utils.torch_compat import (
+        flax_to_torch,
+    )
+
+    ref, ours, params = _build_pair(variant)
+    exported = flax_to_torch(params, variant)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in exported.items()}
+    ref.load_state_dict(sd, strict=True)
+    # Re-import and compare with the original import.
+    back = torch_to_flax(ref.state_dict())
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
