@@ -73,12 +73,45 @@ def rotate_nhwc(
     return out.reshape(n, h, w, c)
 
 
-def shift_nhwc(x: jax.Array, hshift: int, vshift: int = 0) -> jax.Array:
-    """Integer grid-wrap translation — exact ``scipy.ndimage.shift`` parity.
+@functools.lru_cache(maxsize=64)
+def shift_operator_1d(size: int, offset: float, order: int = 3) -> np.ndarray:
+    """Dense (size, size) 1D grid-wrap sub-pixel shift operator.
 
-    scipy's ``shift(input, (0,0,vshift,hshift), mode='grid-wrap')`` with
-    integer offsets reduces to a circular roll (the spline interpolates at
-    grid points, where it is the identity) — reference
-    ``modules/ddpm_models.py:431-436``.
+    Built by pushing the identity basis through ``scipy.ndimage.shift`` —
+    exact parity by linearity, same technique as :func:`rotation_operator`.
+    Separable: a 2D shift is the composition of two 1D operators.
     """
-    return jnp.roll(x, shift=(vshift, hshift), axis=(1, 2))
+    from scipy import ndimage
+
+    basis = np.eye(size, dtype=np.float64)
+    shifted = ndimage.shift(basis, (0.0, offset), mode="grid-wrap", order=order)
+    return np.ascontiguousarray(shifted.T).astype(np.float32)
+
+
+def shift_nhwc(
+    x: jax.Array,
+    hshift: float,
+    vshift: float = 0,
+    order: int = 3,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Grid-wrap translation of each (H, W) plane by a static offset.
+
+    Integer offsets are a circular roll (spline interpolation at grid points
+    is the identity — exactly the reference's ``shift_2d_matrix``,
+    ``modules/ddpm_models.py:431-436``). Fractional offsets — the natural
+    completion of the reference's "under development" translation sampler —
+    apply exact scipy-parity spline operators per axis on the MXU.
+    """
+    if float(hshift).is_integer() and float(vshift).is_integer():
+        return jnp.roll(x, shift=(int(vshift), int(hshift)), axis=(1, 2))
+    _, h, w, _ = x.shape
+    out = x
+    if vshift:
+        mv = jnp.asarray(shift_operator_1d(h, float(vshift), order), x.dtype)
+        out = jnp.einsum("ph,nhwc->npwc", mv, out, precision=precision)
+    if hshift:
+        mh = jnp.asarray(shift_operator_1d(w, float(hshift), order), x.dtype)
+        out = jnp.einsum("qw,nhwc->nhqc", mh, out, precision=precision)
+    return out

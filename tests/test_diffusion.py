@@ -161,3 +161,19 @@ def test_to_uint8_truncation_parity():
     t = torch.tensor([[-2.0, -1.0, 0.0, 0.999, 1.0, 2.0]])
     want = (((t.clamp(-1, 1) + 1) / 2) * 255).type(torch.uint8).numpy()
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("offset", [(0.5, 0.0), (1.25, -0.75), (-2.5, 3.0)])
+def test_subpixel_shift_matches_scipy(offset):
+    """Fractional grid-wrap shifts (extension of the reference's integer-only
+    translation) must match scipy.ndimage.shift exactly."""
+    hshift, vshift = offset
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    ours = np.asarray(shift_nhwc(jnp.asarray(x), hshift, vshift))
+    ref = ndimage.shift(
+        np.transpose(x, (0, 3, 1, 2)), shift=(0, 0, vshift, hshift),
+        mode="grid-wrap",
+    )
+    np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 3, 1)),
+                               atol=5e-5, rtol=1e-4)
