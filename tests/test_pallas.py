@@ -118,3 +118,36 @@ def test_kernel_body_interpret_mode():
     )(jnp.asarray(x))
     want = _lax_filtered_gelu(jnp.asarray(x), UP, DOWN)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_bwd_kernel_interpret_matches_vjp():
+    """The fused backward kernel (interpret mode) must match jax.vjp of the
+    XLA composition."""
+    from jax.experimental import pallas as pl
+
+    from aliasfree_diffusion_models_pytorch_tpu.ops.pallas_kernels import (
+        _make_bwd_kernel,
+    )
+
+    h = w = 8
+    c = 4
+    x = jnp.asarray(RNG.standard_normal((2, h, w, c)).astype(np.float32))
+    g = jnp.asarray(RNG.standard_normal((2, h, w, c)).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda xx: _lax_filtered_gelu(xx, UP, DOWN), x)
+    want = vjp(g)[0]
+
+    kernel = _make_bwd_kernel(3, taps_key(UP), taps_key(DOWN), h, w)
+    got = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        grid=(2,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
+        interpret=True,
+    )(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
