@@ -24,7 +24,7 @@ resize to 299x299 (align_corners=False) → scale to [-1, 1].
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import numpy as np
 import jax

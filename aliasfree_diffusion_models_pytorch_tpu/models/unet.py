@@ -36,7 +36,6 @@ from jax import lax
 
 from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings
 from aliasfree_diffusion_models_pytorch_tpu.models.blocks import (
-    Conv3x3,
     DoubleConv,
     Down,
     LabelEmbedding,

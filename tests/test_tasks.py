@@ -84,3 +84,26 @@ def test_shift_results(run_result):
     outs = shift_results(config, [-2, 0, 2], root=root, n=1)
     assert len(outs) == 3
     assert outs[0].shape == (1, 8, 8, 1)
+
+
+def test_rotation_video(run_result, tmp_path):
+    from aliasfree_diffusion_models_pytorch_tpu.tasks import rotation_video
+
+    config, root, _ = run_result
+    path = rotation_video(config, [0.0, 30.0], str(tmp_path / "rot"), root=root, fps=2)
+    import os
+
+    assert os.path.exists(path) and path.endswith((".mp4", ".gif"))
+
+
+def test_evaluate_folders(run_result, tmp_path):
+    from aliasfree_diffusion_models_pytorch_tpu.eval import evaluate_folders
+
+    config, root, result = run_result
+    m = evaluate_folders(
+        result["gen_dir"], result["gen_dir"],
+        save_path=str(tmp_path / "eval.txt"), limit=4,
+    )
+    # Same folder on both sides → FID ~ 0.
+    assert abs(m["frechet_inception_distance"]) < 1e-3
+    assert (tmp_path / "eval.txt").exists()
