@@ -43,7 +43,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax, random
 
-from aliasfree_diffusion_models_pytorch_tpu.ops.rotation import rotate_nhwc, shift_nhwc
+from aliasfree_diffusion_models_pytorch_tpu.ops.rotation import (
+    apply_pixel_operator,
+    rotation_operator,
+    shift_nhwc,
+)
 
 ApplyFn = Callable[..., jax.Array]  # (params, x_nhwc, t) -> eps
 ModelFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x_nhwc, t) -> eps (legacy)
@@ -117,15 +121,17 @@ class Diffusion:
         n: int,
         channels: int,
         *,
-        theta: float | None = None,
-        rotation_order: int = 3,
+        rot: jax.Array | None = None,
         shift: int | None = None,
         collect_trajectory: bool = True,
     ):
-        """Build the scan body shared by sample/revert/sample_shift."""
+        """Build the scan body shared by sample/revert/sample_shift.
+
+        ``rot`` is a traced (H·W, H·W) per-step rotation operator (or None):
+        a θ-sweep reuses ONE compiled executable across angles.
+        """
         steps = jnp.arange(self.noise_steps - 1, 0, -1)  # 999 … 1
         num_mid = self._num_mid_snapshots
-        theta_step = None if theta is None else float(theta) / self.noise_steps
 
         if shift:
             # Reference precomputation (modules/ddpm_models.py:395-397):
@@ -152,8 +158,8 @@ class Diffusion:
                 * (x - (1.0 - alpha) / jnp.sqrt(1.0 - alpha_hat) * eps)
                 + jnp.sqrt(beta) * z
             )
-            if theta_step is not None:
-                x = rotate_nhwc(x, theta_step, order=rotation_order)
+            if rot is not None:
+                x = apply_pixel_operator(x, rot)
             if shift:
                 x = lax.cond(
                     shift_mask[i],
@@ -217,8 +223,12 @@ class Diffusion:
         With ``theta``, applies the Config-E per-step rotation.
         """
         apply_fn, p = _normalize_model(model_fn, params)
-        run = self._jitted_run(n, image_channels, theta, rotation_order, None, True)
-        x, snaps = run(apply_fn, p, key)
+        rot = None
+        if theta is not None:
+            rot = jnp.asarray(rotation_operator(
+                self.img_size, float(theta) / self.noise_steps, rotation_order))
+        run = self._jitted_run(n, image_channels, rot is not None, None, True)
+        x, snaps = run(apply_fn, p, key, rot)
         traj = snaps.reshape((-1,) + snaps.shape[2:])
         return self.to_uint8(x), self.to_uint8(traj)
 
@@ -226,8 +236,8 @@ class Diffusion:
                params=_NO_PARAMS):
         """Trajectory-only denoising demo (``modules/ddpm_models.py:326-350``)."""
         apply_fn, p = _normalize_model(model_fn, params)
-        run = self._jitted_run(n, image_channels, None, 3, None, True)
-        _, snaps = run(apply_fn, p, key)
+        run = self._jitted_run(n, image_channels, False, None, True)
+        _, snaps = run(apply_fn, p, key, None)
         return self.to_uint8(snaps.reshape((-1,) + snaps.shape[2:]))
 
     def sample_shift(
@@ -243,29 +253,28 @@ class Diffusion:
         if shift == 0:
             shift = None
         apply_fn, p = _normalize_model(model_fn, params)
-        run = self._jitted_run(n, image_channels, None, 3, shift, False)
-        x, _ = run(apply_fn, p, key)
+        run = self._jitted_run(n, image_channels, False, shift, False)
+        x, _ = run(apply_fn, p, key, None)
         return self.to_uint8(x)
 
     @functools.lru_cache(maxsize=64)
-    def _jitted_run(self, n, channels, theta, rotation_order, shift, collect):
+    def _jitted_run(self, n, channels, with_rotation, shift, collect):
         """One compiled executable per static sampler configuration.
 
         ``apply_fn`` is static (a stable function/bound method); ``params``
-        is a traced pytree, so new checkpoints do NOT retrace and weights are
-        not baked into the program as constants.
+        and the rotation operator are traced — new checkpoints and new θ
+        values do NOT retrace.
         """
 
         @functools.partial(jax.jit, static_argnums=0)
-        def run(apply_fn, params, key):
+        def run(apply_fn, params, key, rot):
             return self._run(
                 apply_fn,
                 params,
                 n,
                 channels,
                 key,
-                theta=theta,
-                rotation_order=rotation_order,
+                rot=rot if with_rotation else None,
                 shift=shift,
                 collect_trajectory=collect,
             )

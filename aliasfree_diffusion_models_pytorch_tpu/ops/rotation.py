@@ -52,6 +52,21 @@ def rotation_operator(size: int, degrees: float, order: int = 3) -> np.ndarray:
     ).astype(np.float32)
 
 
+def apply_pixel_operator(
+    x: jax.Array, m: jax.Array, *, precision=lax.Precision.HIGHEST
+) -> jax.Array:
+    """Apply a (H·W, H·W) pixel-space linear operator to an NHWC batch.
+
+    The building block for rotation/translation inside jitted samplers: the
+    operator is a *traced* argument, so a θ-sweep reuses one compiled
+    executable and just feeds different matrices.
+    """
+    n, h, w, c = x.shape
+    flat = x.reshape(n, h * w, c)
+    out = jnp.einsum("pq,nqc->npc", m.astype(x.dtype), flat, precision=precision)
+    return out.reshape(n, h, w, c)
+
+
 def rotate_nhwc(
     x: jax.Array,
     degrees: float,

@@ -66,8 +66,8 @@ def test_scan_matches_eager_loop():
     n, c = 2, 1
     key0 = random.key(42)
 
-    run = d._jitted_run(n, c, None, 3, None, True)
-    x_scan, snaps_scan = run(lambda p, x, t: jnp.zeros_like(x), None, key0)
+    run = d._jitted_run(n, c, False, None, True)
+    x_scan, snaps_scan = run(lambda p, x, t: jnp.zeros_like(x), None, key0, None)
 
     # Eager reference with identical key usage.
     key, xkey = random.split(key0)
