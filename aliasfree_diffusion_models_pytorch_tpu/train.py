@@ -222,6 +222,7 @@ def train(
     mesh: Mesh | None = None,
     sample_each_epoch: bool = True,
     checkpoint_each_epoch: bool = True,
+    resume: bool = False,
     log_every: int = 50,
     profile_dir: str | None = None,
     profile_steps: tuple[int, int] = (10, 20),
@@ -245,6 +246,28 @@ def train(
     rng = random.key(config.seed)
     rng, init_rng = random.split(rng)
     model, state = create_train_state(config, init_rng)
+    if resume and os.path.exists(config.checkpoint_path(root)) or (
+        resume and os.path.exists(config.checkpoint_path(root) + ".npz")
+    ):
+        # True resume — the reference only has this commented out
+        # (modules/ddpm_utils.py:486-488). Restores params/EMA/step always,
+        # optimizer state when it was checkpointed.
+        template = {
+            "params": state.params,
+            "ema_params": state.ema_params,
+            "step": state.step,
+        }
+        if config.checkpoint_opt_state:
+            template["opt_state"] = state.opt_state
+        restored = ckpt_lib.restore_checkpoint(config.checkpoint_path(root), template)
+        state = TrainState(
+            params=restored["params"],
+            opt_state=restored.get("opt_state", state.opt_state),
+            ema_params=restored["ema_params"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        logger.info("resumed from %s at step %d",
+                    config.checkpoint_path(root), int(state.step))
     logger.info(
         "model variant=%d params=%s", config.variant, f"{param_count(state.params):,}"
     )

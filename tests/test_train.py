@@ -133,3 +133,34 @@ def test_conditional_training_runs():
     _, state2 = create_train_state(config, jrandom.key(0))
     _, loss2 = step(state2, batch, jrandom.key(1), (labels + 3) % 10)
     assert float(loss1) != float(loss2)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """train(resume=True) restores params + step from the written checkpoint
+    and continues counting from there."""
+    from aliasfree_diffusion_models_pytorch_tpu.utils import checkpoint as ckpt_lib
+
+    config = tiny_config(epochs=1, checkpoint_opt_state=True)
+    ds = synthetic_dataset(n=8, image_size=8, channels=1)
+    train(config, Dataloader(ds, batch_size=4, seed=0), root=str(tmp_path),
+          sample_each_epoch=False)
+    restored = ckpt_lib.restore_checkpoint(
+        config.checkpoint_path(str(tmp_path)),
+        None if False else {
+            "params": create_train_state(config, random.key(0))[1].params,
+            "ema_params": create_train_state(config, random.key(0))[1].params,
+            "step": jnp.zeros((), jnp.int32),
+            "opt_state": create_train_state(config, random.key(0))[1].opt_state,
+        },
+    )
+    assert int(np.asarray(restored["step"])) == 2  # 8 samples / batch 4 = 2 steps
+
+    # Second run with resume continues from step 2.
+    losses = train(config, Dataloader(ds, batch_size=4, seed=0),
+                   root=str(tmp_path), sample_each_epoch=False, resume=True)
+    restored2 = ckpt_lib.restore_checkpoint(
+        config.checkpoint_path(str(tmp_path)),
+        {"params": restored["params"], "ema_params": restored["ema_params"],
+         "step": jnp.zeros((), jnp.int32), "opt_state": restored["opt_state"]},
+    )
+    assert int(np.asarray(restored2["step"])) == 4
