@@ -48,6 +48,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--root", default=".", help="artifact root directory")
     p.add_argument("--profile-dir", default=None,
                    help="capture an XLA profiler trace of a few train steps here")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the run checkpoint if present")
+    p.add_argument("--checkpoint-opt-state", action="store_true",
+                   help="checkpoint optimizer state (enables exact resume)")
     p.add_argument("--image-gen-per-epoch", type=int, default=4)
     p.add_argument("--gen-per-batch", type=int, default=200)
     p.add_argument("--gen-total", type=int, default=2000)
@@ -87,6 +91,7 @@ def _config_from_args(args) -> "TrainConfig":
         compute_dtype=args.compute_dtype,
         use_ema=args.use_ema,
         use_pallas=args.pallas,
+        checkpoint_opt_state=getattr(args, "checkpoint_opt_state", False),
     )
 
 
@@ -163,7 +168,7 @@ def main(argv=None) -> int:
             config.batch_size, image_channels=config.image_channels,
             seed=config.seed, synthetic_fallback=True,
         )
-        losses = train(config, dl, root=args.root, profile_dir=args.profile_dir)
+        losses = train(config, dl, root=args.root, profile_dir=args.profile_dir, resume=args.resume)
         print(json.dumps({"final_loss": losses[-1] if losses else None}))
         return 0
 
