@@ -223,6 +223,7 @@ def train(
     sample_each_epoch: bool = True,
     checkpoint_each_epoch: bool = True,
     resume: bool = False,
+    prefetch: bool = True,
     log_every: int = 50,
     profile_dir: str | None = None,
     profile_steps: tuple[int, int] = (10, 20),
@@ -285,6 +286,13 @@ def train(
     # Structured metrics stream (SURVEY §5.5): one JSON object per log point.
     metrics_path = os.path.join(config.runs_dir(root), "metrics.jsonl")
     metrics_f = open(metrics_path, "a")
+
+    if prefetch:
+        # Background-thread host pipeline: batch shuffling/copy overlaps the
+        # device step (JAX dispatch is async; the queue depth-2 suffices).
+        from aliasfree_diffusion_models_pytorch_tpu.data import PrefetchLoader
+
+        dataloader = PrefetchLoader(dataloader)
 
     base_key = random.key(config.seed + 1)
     loss_all: list[float] = []
