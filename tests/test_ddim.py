@@ -1,0 +1,67 @@
+"""DDIM fast-sampler tests (beyond-parity extension)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax import random
+
+from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+
+
+def _const_model(value):
+    def fn(p, x, t):
+        return jnp.full_like(x, value)
+
+    return fn
+
+
+def test_ddim_single_step_closed_form():
+    """steps=1, eta=0: one update from pure noise with a constant-eps model
+    has the closed form x_out = (x_T - sqrt(1-ᾱ_T)·c) / sqrt(ᾱ_T)."""
+    d = Diffusion(noise_steps=100, img_size=8)
+    key = random.key(0)
+    c = 0.3
+    out = d.sample_ddim(_const_model(c), n=2, image_channels=1, key=key,
+                        steps=1, eta=0.0, params=None)
+    # Reproduce the sampler's rng usage: split → x init.
+    key2, xkey = random.split(key)
+    x = np.asarray(random.normal(xkey, (2, 8, 8, 1)))
+    ahat = float(np.asarray(d.alpha_hat)[99])
+    x0 = (x - np.sqrt(1 - ahat) * c) / np.sqrt(ahat)
+    want = np.asarray(Diffusion.to_uint8(jnp.asarray(x0)))
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_ddim_deterministic_at_eta0():
+    d = Diffusion(noise_steps=50, img_size=8)
+    a = d.sample_ddim(_const_model(0.0), n=2, image_channels=1,
+                      key=random.key(1), steps=10, params=None)
+    b = d.sample_ddim(_const_model(0.0), n=2, image_channels=1,
+                      key=random.key(1), steps=10, params=None)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = d.sample_ddim(_const_model(0.0), n=2, image_channels=1,
+                      key=random.key(2), steps=10, params=None)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_ddim_shapes_and_eta1_runs():
+    d = Diffusion(noise_steps=100, img_size=8)
+    out = d.sample_ddim(_const_model(0.0), n=3, image_channels=3,
+                        key=random.key(0), steps=20, eta=1.0, params=None)
+    assert out.shape == (3, 8, 8, 3)
+    assert out.dtype == jnp.uint8
+
+
+def test_ddim_with_rotation_runs():
+    d = Diffusion(noise_steps=50, img_size=8)
+    out = d.sample_ddim(_const_model(0.0), n=1, image_channels=1,
+                        key=random.key(0), steps=5, theta=45.0, params=None)
+    assert out.shape == (1, 8, 8, 1)
+
+
+def test_ddim_validates_steps():
+    d = Diffusion(noise_steps=50, img_size=8)
+    with pytest.raises(ValueError):
+        d.sample_ddim(_const_model(0.0), n=1, image_channels=1,
+                      key=random.key(0), steps=50, params=None)
