@@ -43,7 +43,10 @@ import numpy as np
 def _to_numpy(v) -> np.ndarray:
     if hasattr(v, "detach"):  # torch tensor without importing torch
         v = v.detach().cpu().numpy()
-    return np.asarray(v)
+    # Copy: torch's .numpy() view ALIASES the tensor storage — without this,
+    # an in-place torch update (e.g. optimizer.step()) would silently mutate
+    # the exported parameters.
+    return np.array(v)
 
 
 def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
