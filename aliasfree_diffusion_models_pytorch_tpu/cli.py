@@ -116,6 +116,9 @@ def main(argv=None) -> int:
             _add_common(p)
     sub.choices["sample"].add_argument("--n", type=int, default=16)
     sub.choices["sample"].add_argument("--out", default="samples.png")
+    sub.choices["sample"].add_argument("--ddim-steps", type=int, default=None,
+        help="use the DDIM fast sampler with this many steps (default: 1000-step DDPM)")
+    sub.choices["sample"].add_argument("--ddim-eta", type=float, default=0.0)
     sub.choices["rotate"].add_argument(
         "--thetas", default="-90:90:9", help="start:stop:count degrees"
     )
@@ -185,11 +188,18 @@ def main(argv=None) -> int:
         model, params = _load_model_params(config, args.root)
         d = Diffusion(noise_steps=config.noise_steps, img_size=config.image_size)
         apply_fn, params = _model_fn(model, params)
-        final, _ = d.sample(
-            apply_fn, n=args.n,
-            image_channels=config.image_channels, key=random.key(config.seed),
-            params=params,
-        )
+        if args.ddim_steps:
+            final = d.sample_ddim(
+                apply_fn, n=args.n, image_channels=config.image_channels,
+                key=random.key(config.seed), steps=args.ddim_steps,
+                eta=args.ddim_eta, params=params,
+            )
+        else:
+            final, _ = d.sample(
+                apply_fn, n=args.n,
+                image_channels=config.image_channels, key=random.key(config.seed),
+                params=params,
+            )
         save_image_grid(np.asarray(final), args.out)
         print(f"wrote {args.out}")
         return 0

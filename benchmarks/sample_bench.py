@@ -40,6 +40,21 @@ def main():
     params = model.init_params(random.key(0), batch=1)
     d = Diffusion(noise_steps=args.steps, img_size=32)
 
+    # DDIM fast path first (50 steps), then the full DDPM chains.
+    t0 = time.perf_counter()
+    out = d.sample_ddim(model.apply, n=args.n, image_channels=args.channels,
+                        key=random.key(0), steps=50, params=params)
+    jax.block_until_ready(out)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = d.sample_ddim(model.apply, n=args.n, image_channels=args.channels,
+                        key=random.key(1), steps=50, params=params)
+    jax.block_until_ready(out)
+    print(json.dumps({"metric": "sample_ddim50", "wall_s": round(time.perf_counter()-t0, 3),
+                      "imgs_per_sec": round(args.n / (time.perf_counter()-t0), 2),
+                      "first_call_s": round(first, 1), "n": args.n,
+                      "backend": jax.default_backend()}), flush=True)
+
     for theta, label in [(None, "sample_1000step"), (45.0, "sample_1000step_rotated")]:
         t0 = time.perf_counter()
         final, _ = d.sample(model.apply, n=args.n, image_channels=args.channels,
