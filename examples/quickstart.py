@@ -5,6 +5,11 @@ Mirrors the reference's Train.ipynb -> Results.ipynb -> Perf_evaluation.ipynb
 flow as ~40 lines of library calls.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 from jax import random
 
