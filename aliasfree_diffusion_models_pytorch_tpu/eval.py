@@ -286,4 +286,10 @@ def evaluate_folders(
         os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
         with open(save_path, "w") as f:
             f.write("\n".join(f"{k}: {v}" for k, v in m.items()))
+        # Machine-readable twin (replaces the reference's pickle artifact,
+        # Perf_evaluation.ipynb cell 6).
+        import json
+
+        with open(os.path.splitext(save_path)[0] + ".json", "w") as f:
+            json.dump(m, f, indent=2)
     return m
