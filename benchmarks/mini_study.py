@@ -55,8 +55,16 @@ def main():
     train_u8 = np.clip((ds.images + 1) / 2 * 255, 0, 255).astype(np.uint8)
     extractor = RandomFeatures(seed=0)
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="0,3")
+    ap.add_argument("--skip-rotation", action="store_true")
+    args = ap.parse_args()
+    variants = tuple(int(v) for v in args.variants.split(","))
+
     results = {}
-    for variant in (0, 3):
+    for variant in variants:
         config = TrainConfig(
             run_name=f"DDPM_Uncondtional_synth_{variant}",
             epochs=30, batch_size=128, image_size=32, image_channels=1,
@@ -90,6 +98,11 @@ def main():
                 100 * m["kernel_inception_distance_mean"], 3),
         }
         print(json.dumps({"variant": variant, **results[variant]}), flush=True)
+
+    if args.skip_rotation:
+        with open(os.path.join(out_dir, f"mini_study_{args.variants.replace(',', '_')}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        return
 
     # Config-E rotation sweep on the trained Config-D model → GIF.
     config3 = TrainConfig(
