@@ -12,8 +12,8 @@ Rebuild of the reference loaders (``modules/utils.py:43-82``):
   shorter-edge resize to ``image_size``, ``ToTensor`` + ``Normalize`` →
   [-1, 1]. Used for CIFAR-10-32 / MNIST-M PNG trees (square images, so the
   resize is usually an identity).
-* :class:`Dataloader` — deterministic shuffling (seeded numpy permutation per
-  epoch), NHWC float32 batches. ``drop_last=False`` matches the torch
+* :class:`Dataloader` — deterministic shuffling + batch gather through the
+  native C++ loader when built (NumPy fallback), NHWC float32 batches. ``drop_last=False`` matches the torch
   ``DataLoader`` default; the multi-chip path uses ``drop_last=True`` so
   every step has a static, mesh-divisible shape (one XLA executable).
 
@@ -25,6 +25,7 @@ TPU-native trick the model uses for bilinear upsampling.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from typing import Iterator
 
@@ -149,6 +150,14 @@ class Dataloader:
 
     ``seed`` + ``epoch`` fully determine the order (reference determinism
     contract, ``modules/utils.py:98-105``, without global RNG state).
+
+    The per-epoch permutation and the per-batch gather run through the native
+    C++ loader (``native/csv_loader.cpp``) when its library is available —
+    the host-pipeline fast path — with a NumPy fallback producing an equally
+    deterministic (but differently-ordered) shuffle. The gather is
+    bit-identical across paths; only the shuffle *order* differs between the
+    native splitmix64 Fisher-Yates and NumPy's PCG64, so runs are exactly
+    reproducible per path (a one-time log notes which one is active).
     """
 
     def __init__(
@@ -172,16 +181,45 @@ class Dataloader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        from aliasfree_diffusion_models_pytorch_tpu.utils import native
+
         n = len(self.dataset)
         if self.shuffle:
-            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+            order = native.shuffled_permutation(n, self.seed, self.epoch)
+            if order is None:
+                _log_numpy_fallback_once()
+                order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
         else:
             order = np.arange(n)
         self.epoch += 1
         stop = n - n % self.batch_size if self.drop_last else n
+        images = self.dataset.images
+        use_native_gather = (
+            images.dtype == np.float32 and images.flags["C_CONTIGUOUS"]
+        )
         for start in range(0, stop, self.batch_size):
             idx = order[start : start + self.batch_size]
-            yield self.dataset.images[idx], self.dataset.labels[idx]
+            batch = (
+                native.gather_batch(images, order, start, len(idx))
+                if use_native_gather
+                else None
+            )
+            if batch is None:
+                batch = images[idx]
+            yield batch, self.dataset.labels[idx]
+
+
+_NUMPY_FALLBACK_LOGGED = False
+
+
+def _log_numpy_fallback_once() -> None:
+    global _NUMPY_FALLBACK_LOGGED
+    if not _NUMPY_FALLBACK_LOGGED:
+        _NUMPY_FALLBACK_LOGGED = True
+        logging.getLogger(__name__).info(
+            "native loader unavailable; using the NumPy shuffle fallback "
+            "(deterministic, but a different order than the native path)"
+        )
 
 
 class PrefetchLoader:

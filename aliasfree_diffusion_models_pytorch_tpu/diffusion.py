@@ -279,8 +279,12 @@ class Diffusion:
         production fast path: ``eta=0`` is the deterministic DDIM ODE (50
         steps typically match 1000-step DDPM quality), ``eta=1`` recovers
         DDPM-style stochasticity on the subsequence. Config-E rotation
-        composes: ``theta/steps`` degrees are applied after every update, so
-        the total angle matches the DDPM sampler's convention.
+        composes: the per-step angle is scaled so the TOTAL applied rotation
+        equals the DDPM sampler's ``theta * (noise_steps-1)/noise_steps``
+        (the reference's convention, ``modules/ddpm_models.py:356,375`` —
+        theta/noise_steps per step over noise_steps-1 steps), so sweeps can
+        mix samplers without angle drift (tested in
+        ``tests/test_ddim.py::test_ddim_rotation_total_angle_matches_ddpm``).
 
         Returns final uint8 images, shape ``(n, H, W, C)``.
         """
@@ -299,8 +303,11 @@ class Diffusion:
         a_prev = np.concatenate([ahat[taus[1:]], [1.0]])
         rot = None
         if theta is not None:
+            # Total DDIM rotation == total DDPM rotation (θ·(N-1)/N), spread
+            # uniformly over the len(taus) applications.
+            total = float(theta) * (self.noise_steps - 1) / self.noise_steps
             rot = jnp.asarray(rotation_operator(
-                self.img_size, float(theta) / len(taus), rotation_order))
+                self.img_size, total / len(taus), rotation_order))
 
         run = self._jitted_ddim(n, image_channels, len(taus), float(eta),
                                 rot is not None)

@@ -105,7 +105,11 @@ def sinusoidal_time_embedding(
     """
     if table_size is not None:
         table = jnp.asarray(_time_embedding_table(table_size, channels))
-        return jnp.take(table, t.astype(jnp.int32), axis=0)
+        # mode="clip": jnp.take's default out-of-bounds fill is NaN, which
+        # silently poisons training if the table is undersized (build_model
+        # sizes it from noise_steps; clipping is the safe fallback for direct
+        # UNet users who pass t >= table_size).
+        return jnp.take(table, t.astype(jnp.int32), axis=0, mode="clip")
     t = t.astype(jnp.float32)[:, None]
     inv_freq = 1.0 / (
         10000.0 ** (jnp.arange(0, channels, 2, dtype=jnp.float32) / channels)

@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Largest image side for the dense (H*W, H*W) operator: 64 → 64 MB fp32.
+_MAX_DENSE_OPERATOR_SIZE = 64
+
 
 @functools.lru_cache(maxsize=32)
 def rotation_operator(size: int, degrees: float, order: int = 3) -> np.ndarray:
@@ -39,7 +42,20 @@ def rotation_operator(size: int, degrees: float, order: int = 3) -> np.ndarray:
 
     Built once per (size, degrees, order) and cached; at 32x32 the operator
     is 1024x1024 (4 MB fp32) — ideal MXU shape.
+
+    The dense formulation scales as size⁴ in memory and size² scipy calls to
+    build: fine through 64x64 (16M fp32 = 64 MB, the largest reference
+    resolution family), unusable at e.g. 256x256 (17 GB). Guarded by an
+    explicit error rather than an OOM/hours-long hang.
     """
+    if size > _MAX_DENSE_OPERATOR_SIZE:
+        raise ValueError(
+            f"rotation_operator: dense (H²,H²) formulation is limited to "
+            f"{_MAX_DENSE_OPERATOR_SIZE}x{_MAX_DENSE_OPERATOR_SIZE} images "
+            f"(got {size}x{size} → a {size*size}x{size*size} matrix, "
+            f"{size**4 * 4 / 2**30:.1f} GiB). Downsample first or use an "
+            "order-1 gather-based rotation for large images."
+        )
     from scipy import ndimage
 
     basis = np.eye(size * size, dtype=np.float64).reshape(size * size, size, size)

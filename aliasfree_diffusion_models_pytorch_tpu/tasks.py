@@ -25,13 +25,18 @@ import jax
 import numpy as np
 from jax import random
 
-from aliasfree_diffusion_models_pytorch_tpu.config import TrainConfig
+from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings, TrainConfig
 from aliasfree_diffusion_models_pytorch_tpu.data import get_data
 from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
 from aliasfree_diffusion_models_pytorch_tpu.models.unet import UNet, param_count
 from aliasfree_diffusion_models_pytorch_tpu.ops.filters import (
     circular_lowpass_kernel,
     jinc_filter_2d,
+)
+from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
+    depthwise_fir,
+    maxpool2x,
+    upsample_bilinear_align_corners,
 )
 from aliasfree_diffusion_models_pytorch_tpu.train import build_model, train
 from aliasfree_diffusion_models_pytorch_tpu.utils import checkpoint as ckpt_lib
@@ -43,6 +48,7 @@ from aliasfree_diffusion_models_pytorch_tpu.utils.io import (
 )
 from aliasfree_diffusion_models_pytorch_tpu.utils.plotting import (
     plot_filter_and_response,
+    plot_image_panels,
     plot_images,
     plot_loss,
 )
@@ -68,6 +74,51 @@ def _model_fn(model: UNet, params):
     argument (baking them into the jitted program as constants would mean
     minutes of compile and a retrace per checkpoint)."""
     return model.apply, params
+
+
+def resample_ab_demo(
+    image: np.ndarray, filters: FilterSettings
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """Filtered vs plain down/up-sampling A/B on one real image.
+
+    Reproduces the reference diagnostic (``modules/ddpm_tasks.py:177-278``):
+
+    * filtered chain: original → depthwise jinc FIR (ω_c_down) → MaxPool(2) →
+      bilinear 2x up (align_corners=True) → depthwise sinc FIR (ω_c_up);
+    * plain chain: original → MaxPool(2) → bilinear 2x up.
+
+    ``image`` is one NHWC float image in [-1, 1] (batch 1). Returns the
+    (filtered_stages, plain_stages) dicts of named HWC arrays, ordered as the
+    reference's plot titles.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(image, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    jinc = circular_lowpass_kernel(
+        filters.omega_c_down, filters.kernel_size, filters.kaiser_beta
+    )
+    sinc = circular_lowpass_kernel(
+        filters.omega_c_up, filters.kernel_size, filters.kaiser_beta
+    )
+
+    filtered: dict[str, np.ndarray] = {"original": np.asarray(x[0])}
+    y = depthwise_fir(x, jinc)
+    filtered["downfilter"] = np.asarray(y[0])
+    y = maxpool2x(y)
+    filtered["downsample"] = np.asarray(y[0])
+    y = upsample_bilinear_align_corners(y)
+    filtered["upsample"] = np.asarray(y[0])
+    y = depthwise_fir(y, sinc)
+    filtered["upfilter"] = np.asarray(y[0])
+
+    plain: dict[str, np.ndarray] = {"original": np.asarray(x[0])}
+    z = maxpool2x(x)
+    plain["downsample"] = np.asarray(z[0])
+    z = upsample_bilinear_align_corners(z)
+    plain["upsample"] = np.asarray(z[0])
+    return filtered, plain
 
 
 def ddpm_run(
@@ -115,19 +166,23 @@ def ddpm_run(
                 kern, os.path.join(runs_dir, f"filter_{name}.png")
             )
 
-    # 3. UNet smoke test (ddpm_tasks.py:140-148): param count + output shape.
+    # 3. UNet smoke test (ddpm_tasks.py:140-148): param count + an *executed*
+    # forward pass on random input (the reference runs it, not just shapes).
     model = build_model(config)
     smoke_params = model.init_params(random.key(0), batch=2)
     logger.info("UNet parameters: %s", f"{param_count(smoke_params):,}")
-    x = np.zeros((2, config.image_size, config.image_size, config.image_channels),
-                 np.float32)
-    t = np.full((2,), 500, np.int64)
-    out_shape = jax.eval_shape(
-        lambda p, xx, tt: model.apply(p, xx, tt), smoke_params, x, t
-    ).shape
-    assert out_shape == x.shape, (out_shape, x.shape)
-    logger.info("UNet forward: %s -> %s", x.shape, out_shape)
-    del smoke_params
+    x = np.asarray(
+        random.normal(
+            random.key(1),
+            (2, config.image_size, config.image_size, config.image_channels),
+        )
+    )
+    t = np.full((2,), min(500, config.noise_steps - 1), np.int64)
+    out = jax.block_until_ready(model.apply(smoke_params, x, t))
+    assert out.shape == x.shape, (out.shape, x.shape)
+    assert bool(np.isfinite(np.asarray(out)).all()), "UNet smoke forward non-finite"
+    logger.info("UNet forward: %s -> %s", x.shape, out.shape)
+    del smoke_params, out
 
     # 4. Data + noising visualization (ddpm_tasks.py:151-173).
     dataloader, dataset = get_data(
@@ -148,6 +203,19 @@ def ddpm_run(
         plot_images(
             np.asarray(Diffusion.to_uint8(noised)),
             os.path.join(runs_dir, "noising_chain.png"),
+        )
+
+    # 4b. Filtered vs plain resampling A/B on a real training image
+    # (ddpm_tasks.py:177-278) — the visual argument for alias-free blocks.
+    if diagnostics and config.filters is not None:
+        filtered, plain = resample_ab_demo(dataset.images[0], config.filters)
+        plot_image_panels(
+            list(filtered.values()), list(filtered.keys()),
+            os.path.join(runs_dir, "resample_filtered.png"),
+        )
+        plot_image_panels(
+            list(plain.values()), list(plain.keys()),
+            os.path.join(runs_dir, "resample_plain.png"),
         )
 
     # 5. Train (ddpm_tasks.py:285-293) + loss artifacts (:296-299).

@@ -45,6 +45,9 @@ from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import (
     make_mesh,
     replicated,
 )
+from aliasfree_diffusion_models_pytorch_tpu.parallel.multihost import (
+    put_global_batch,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -86,6 +89,10 @@ def build_model(config: TrainConfig) -> UNet:
         filters=config.filters,
         variant=config.variant,
         num_classes=config.num_classes,
+        # The exact-embedding gather table must cover every trainable
+        # timestep: t < noise_steps. Undersizing it makes jnp.take fill NaN
+        # for out-of-range t (advisor finding: noise_steps=1500 → NaN loss).
+        time_table_size=max(1024, config.noise_steps),
         use_pallas=config.use_pallas,
         dtype=jnp.dtype(config.compute_dtype) if bf16 else None,
         # fp32 pins HIGHEST matmul precision (torch parity); bf16 uses the
@@ -242,6 +249,13 @@ def train(
         # otherwise stay single-device (exact reference semantics).
         if config.batch_size % len(jax.devices()) == 0:
             mesh = make_mesh()
+        else:
+            logger.warning(
+                "batch_size=%d does not divide the %d available devices; "
+                "training single-device. Pass a mesh= or pick a divisible "
+                "batch size to use all chips.",
+                config.batch_size, len(jax.devices()),
+            )
     data_div = mesh.shape["data"] if mesh is not None else 1
 
     rng = random.key(config.seed)
@@ -285,7 +299,6 @@ def train(
     os.makedirs(config.runs_dir(root), exist_ok=True)
     # Structured metrics stream (SURVEY §5.5): one JSON object per log point.
     metrics_path = os.path.join(config.runs_dir(root), "metrics.jsonl")
-    metrics_f = open(metrics_path, "a")
 
     if prefetch:
         # Background-thread host pipeline: batch shuffling/copy overlaps the
@@ -294,92 +307,116 @@ def train(
 
         dataloader = PrefetchLoader(dataloader)
 
-    base_key = random.key(config.seed + 1)
-    loss_all: list[float] = []
-    global_step = 0
-    for epoch in range(config.epochs):
-        logger.info("Starting epoch %d:", epoch)
-        # Losses stay on device until epoch end — the reference's per-step
-        # ``loss.item()`` (``modules/ddpm_utils.py:508``) forces a host sync
-        # every step and serializes dispatch; deferring the transfer lets
-        # JAX's async dispatch pipeline host batch prep with device compute.
-        epoch_losses: list[jax.Array] = []
-        t_start, imgs = time.perf_counter(), 0
-        for images, lbls in dataloader:
-            if mesh is not None and images.shape[0] % data_div != 0:
-                # Pad the trailing partial batch up to a shardable size by
-                # repeating leading samples (only reachable with
-                # drop_last=False; the loss contribution of the duplicates
-                # is the price of keeping every real sample, mirroring the
-                # reference's partial-batch training).
-                pad = data_div - images.shape[0] % data_div
-                images = np.concatenate([images, images[:pad]], axis=0)
-                lbls = np.concatenate([lbls, lbls[:pad]], axis=0)
-            batch = jnp.asarray(images)
-            labels = jnp.asarray(lbls) if config.num_classes else None
-            if mesh is not None:
-                batch = jax.device_put(batch, batch_sharding(mesh))
-                if labels is not None:
-                    labels = jax.device_put(labels, batch_sharding(mesh, ndim=1))
-            # Optional XLA/TPU profiler capture over a step window
-            # (view with the TensorBoard profile plugin).
-            if profile_dir is not None and global_step == profile_steps[0]:
-                jax.profiler.start_trace(profile_dir)
-            state, loss = step_fn(
-                state, batch, random.fold_in(base_key, global_step), labels
+    # The metrics stream is managed with try/finally so a mid-training
+    # exception cannot leak the handle; a per-run header record delimits
+    # appended runs in the same file.
+    metrics_f = open(metrics_path, "a")
+    try:
+        metrics_f.write(
+            json.dumps(
+                {
+                    "run_header": config.run_name,
+                    "variant": config.variant,
+                    "epochs": config.epochs,
+                    "resumed_step": int(state.step),
+                }
             )
-            if profile_dir is not None and global_step == profile_steps[1]:
-                jax.block_until_ready(loss)
-                jax.profiler.stop_trace()
-            epoch_losses.append(loss)
-            imgs += images.shape[0]
-            global_step += 1
-            if global_step % log_every == 0:
-                dt = time.perf_counter() - t_start
-                rate = imgs / max(dt, 1e-9)
-                logger.info(
-                    "epoch %d step %d loss %.4f (%.1f imgs/s)",
-                    epoch, global_step, float(loss), rate,
-                )
-                metrics_f.write(
-                    json.dumps(
-                        {
-                            "epoch": epoch,
-                            "step": global_step,
-                            "loss": float(loss),
-                            "imgs_per_sec": round(rate, 1),
-                            "wall_s": round(dt, 2),
-                        }
-                    )
-                    + "\n"
-                )
-                metrics_f.flush()
-        loss_all.append(
-            float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
+            + "\n"
         )
+        base_key = random.key(config.seed + 1)
+        loss_all: list[float] = []
+        global_step = 0
+        for epoch in range(config.epochs):
+            logger.info("Starting epoch %d:", epoch)
+            # Losses stay on device until epoch end — the reference's per-step
+            # ``loss.item()`` (``modules/ddpm_utils.py:508``) forces a host sync
+            # every step and serializes dispatch; deferring the transfer lets
+            # JAX's async dispatch pipeline host batch prep with device compute.
+            epoch_losses: list[jax.Array] = []
+            t_start, imgs = time.perf_counter(), 0
+            for images, lbls in dataloader:
+                if mesh is not None and images.shape[0] % data_div != 0:
+                    # Pad the trailing partial batch up to a shardable size by
+                    # repeating leading samples (only reachable with
+                    # drop_last=False; the loss contribution of the duplicates
+                    # is the price of keeping every real sample, mirroring the
+                    # reference's partial-batch training).
+                    pad = data_div - images.shape[0] % data_div
+                    images = np.concatenate([images, images[:pad]], axis=0)
+                    lbls = np.concatenate([lbls, lbls[:pad]], axis=0)
+                if mesh is not None:
+                    # Single-process: sharded device_put. Multi-process:
+                    # per-host loading via make_array_from_process_local_data
+                    # (docs/SCALING.md "Multi-host"; every host computed the
+                    # same global order, contributes only its slice).
+                    batch = put_global_batch(mesh, np.asarray(images))
+                    labels = (
+                        put_global_batch(mesh, np.asarray(lbls))
+                        if config.num_classes else None
+                    )
+                else:
+                    batch = jnp.asarray(images)
+                    labels = jnp.asarray(lbls) if config.num_classes else None
+                # Optional XLA/TPU profiler capture over a step window
+                # (view with the TensorBoard profile plugin).
+                if profile_dir is not None and global_step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
+                state, loss = step_fn(
+                    state, batch, random.fold_in(base_key, global_step), labels
+                )
+                if profile_dir is not None and global_step == profile_steps[1]:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                epoch_losses.append(loss)
+                imgs += images.shape[0]
+                global_step += 1
+                if global_step % log_every == 0:
+                    dt = time.perf_counter() - t_start
+                    rate = imgs / max(dt, 1e-9)
+                    logger.info(
+                        "epoch %d step %d loss %.4f (%.1f imgs/s)",
+                        epoch, global_step, float(loss), rate,
+                    )
+                    metrics_f.write(
+                        json.dumps(
+                            {
+                                "epoch": epoch,
+                                "step": global_step,
+                                "loss": float(loss),
+                                "imgs_per_sec": round(rate, 1),
+                                "wall_s": round(dt, 2),
+                            }
+                        )
+                        + "\n"
+                    )
+                    metrics_f.flush()
+            loss_all.append(
+                float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
+            )
 
-        if sample_each_epoch:
-            # The reference's *intended* per-epoch artifact: a grid of the
-            # n final samples (its own call crashes on the sample() tuple —
-            # SURVEY.md §2.2).
-            params = state.ema_params if config.use_ema else state.params
-            final, _ = diffusion.sample(
-                model.apply,
-                params=params,
-                n=config.image_gen_n,
-                image_channels=config.image_channels,
-                # Disjoint key namespace from per-step keys (which count up
-                # from 0): epoch sampling keys live above 2^31.
-                key=random.fold_in(base_key, 2**31 + epoch),
-            )
-            save_image_grid(
-                np.asarray(final), os.path.join(config.results_dir(root), f"{epoch}.jpg")
-            )
-        if checkpoint_each_epoch:
-            ckpt_lib.save_checkpoint(
-                config.checkpoint_path(root),
-                state,
-                save_opt_state=config.checkpoint_opt_state,
-            )
-    metrics_f.close()
+            if sample_each_epoch and config.image_gen_n > 0:
+                # The reference's *intended* per-epoch artifact: a grid of the
+                # n final samples (its own call crashes on the sample() tuple —
+                # SURVEY.md §2.2).
+                params = state.ema_params if config.use_ema else state.params
+                final, _ = diffusion.sample(
+                    model.apply,
+                    params=params,
+                    n=config.image_gen_n,
+                    image_channels=config.image_channels,
+                    # Disjoint key namespace from per-step keys (which count up
+                    # from 0): epoch sampling keys live above 2^31.
+                    key=random.fold_in(base_key, 2**31 + epoch),
+                )
+                save_image_grid(
+                    np.asarray(final), os.path.join(config.results_dir(root), f"{epoch}.jpg")
+                )
+            if checkpoint_each_epoch:
+                ckpt_lib.save_checkpoint(
+                    config.checkpoint_path(root),
+                    state,
+                    save_opt_state=config.checkpoint_opt_state,
+                )
+    finally:
+        metrics_f.close()
     return loss_all

@@ -62,11 +62,32 @@ def save_checkpoint(path: str, state, *, save_opt_state: bool = False,
     return npz_path
 
 
+def _unflatten(flat: dict[str, np.ndarray]) -> dict:
+    """Invert ``_flatten``: rebuild nested dicts from 'a/b/c' keys.
+
+    Keys that were list/tuple indices come back as dicts keyed by the index
+    string; consumers only index the top-level groups ('params',
+    'ema_params', 'step', 'opt_state') and treat param subtrees as dicts, so
+    this round-trips everything the npz path saves.
+    """
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return root
+
+
 def restore_checkpoint(path: str, template: Any = None):
     """Restore a checkpoint payload dict.
 
     With a ``template`` (pytree of like-shaped arrays), Orbax restores with
-    matching structure/dtypes. The npz fallback returns the flat dict.
+    matching structure/dtypes. The npz fallback rebuilds the nested payload
+    dict (keys 'params', 'ema_params', 'step', optionally 'opt_state') from
+    the flattened archive, so consumers index it the same way as an Orbax
+    restore.
     """
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
@@ -78,5 +99,28 @@ def restore_checkpoint(path: str, template: Any = None):
     if os.path.exists(path + ".npz") or path.endswith(".npz"):
         p = path if path.endswith(".npz") else path + ".npz"
         with np.load(p) as z:
-            return {k: z[k] for k in z.files}
+            flat = {k: z[k] for k in z.files}
+        if template is not None:
+            # Rebuild the exact pytree structure (incl. optax namedtuple
+            # opt_state) by matching the saved keys against the template's
+            # flatten-with-path keys — the same scheme _flatten used.
+            tpl_flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+            leaves = []
+            for tpl_path, tpl_leaf in tpl_flat:
+                key = "/".join(
+                    getattr(pp, "key", None) or str(getattr(pp, "idx", pp))
+                    for pp in tpl_path
+                )
+                if key not in flat:
+                    raise KeyError(
+                        f"checkpoint {p} is missing '{key}' required by the "
+                        "restore template (was it saved without opt_state?)"
+                    )
+                leaves.append(flat[key])
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+        payload = _unflatten(flat)
+        # 'step' flattens to a bare scalar array; keep it scalar.
+        if "step" in payload and isinstance(payload["step"], np.ndarray):
+            payload["step"] = payload["step"][()]
+        return payload
     raise FileNotFoundError(path)

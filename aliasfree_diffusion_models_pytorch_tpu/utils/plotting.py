@@ -37,6 +37,37 @@ def plot_images(images: np.ndarray, save_path: str | None = None):
     return fig
 
 
+def plot_image_panels(
+    images: list[np.ndarray],
+    titles: list[str],
+    save_path: str | None = None,
+):
+    """Row of individually-sized image panels with titles.
+
+    Reproduces the reference's filtered-vs-plain resampling diagnostic
+    rendering (``modules/ddpm_tasks.py:222-234``): each float image is
+    clamped to [-1, 1], mapped to uint8, and shown in its own subplot (the
+    panels have different resolutions, so no strip-concatenation).
+    """
+    plt = _plt()
+    fig, axs = plt.subplots(1, len(images), figsize=(3 * len(images), 3))
+    if len(images) == 1:
+        axs = [axs]
+    for ax, img, title in zip(axs, images, titles):
+        img = np.asarray(img, np.float64)
+        img = ((np.clip(img, -1.0, 1.0) + 1.0) / 2.0 * 255.0).astype(np.uint8)
+        if img.ndim == 3 and img.shape[-1] == 1:
+            img = img[:, :, 0]
+        ax.imshow(img, cmap="gray" if img.ndim == 2 else None)
+        ax.set_title(title)
+        ax.axis("off")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_loss(loss_all, save_path: str | None = None):
     plt = _plt()
     fig = plt.figure(figsize=(6, 6))

@@ -163,3 +163,34 @@ def test_npz_roundtrip(params, tmp_path):
     imgs = RNG.integers(0, 256, (2, 32, 32, 1), dtype=np.uint8)
     feats = ex.features(imgs)
     assert feats.shape == (2, 2048)
+
+
+def test_numerical_parity_vs_torch_oracle():
+    """VERDICT round-1 item 5: push one seeded random state dict through an
+    independently written torch forward of the same architecture table and
+    through the flax port; features and logits must match.
+
+    Exercises every block type (A/B/C/D/E incl. the Mixed_7c max-pool and
+    count_include_pad=False quirks), the BN folding, and the converter — a
+    single wrong pad or pool would blow well past the tolerance."""
+    import torch
+
+    from tests._torch_inception_oracle import randomized_model
+
+    model = randomized_model(seed=0)
+    params = convert_torch_state_dict(model.state_dict())
+
+    rng = np.random.default_rng(42)
+    # 149x149 keeps all spatial dims valid while running fast on CPU.
+    x = rng.uniform(-1.0, 1.0, size=(2, 149, 149, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        feats_t, logits_t = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feats_j, logits_j = inception_forward(params, jnp.asarray(x))
+
+    np.testing.assert_allclose(
+        np.asarray(feats_j), feats_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_j), logits_t.numpy(), rtol=2e-3, atol=2e-4
+    )

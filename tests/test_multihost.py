@@ -1,0 +1,92 @@
+"""Multi-host training path, simulated with 2 CPU processes (Gloo).
+
+VERDICT round-1 item 9: prove that per-host sharded loading
+(``parallel/multihost.put_global_batch`` →
+``jax.make_array_from_process_local_data``) produces the same global batch —
+and therefore the same train-step loss — as the single-host path.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+from jax import random
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "tests", "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_loss() -> float:
+    """Same step as the workers, on this process's virtual mesh."""
+    from aliasfree_diffusion_models_pytorch_tpu.config import (
+        FilterSettings,
+        TrainConfig,
+    )
+    from aliasfree_diffusion_models_pytorch_tpu.data import (
+        Dataloader,
+        synthetic_dataset,
+    )
+    from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+    from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import make_mesh
+    from aliasfree_diffusion_models_pytorch_tpu.parallel.multihost import (
+        put_global_batch,
+    )
+    from aliasfree_diffusion_models_pytorch_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    config = TrainConfig(
+        run_name="mh", epochs=1, batch_size=8, image_size=8, image_channels=1,
+        dataset="synthetic", dataset_path=None, lr=3e-4, noise_steps=50,
+        variant=3, filters=FilterSettings(), seed=0,
+    )
+    # 4-device mesh — the same global mesh size the 2x2-device workers build.
+    mesh = make_mesh(devices=jax.devices()[:4])
+    ds = synthetic_dataset(n=8, image_size=8, channels=1, seed=0)
+    images, _ = next(iter(Dataloader(ds, batch_size=8, seed=0)))
+    model, state = create_train_state(config, random.key(0))
+    diffusion = Diffusion(noise_steps=50, img_size=8)
+    step = make_train_step(model, config, diffusion, mesh)
+    state, loss = step(state, put_global_batch(mesh, images), random.key(1))
+    return float(loss)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_loss_matches_single_host():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+        assert lines, f"no RESULT line in:\n{out}"
+        losses.append(float(lines[0].split("loss=")[1]))
+    # Both processes observe the identical (replicated-out) loss.
+    assert losses[0] == losses[1], losses
+
+    # And it equals the single-host loss on the same global batch/mesh size.
+    single = _single_process_loss()
+    np.testing.assert_allclose(losses[0], single, rtol=1e-6, atol=1e-7)

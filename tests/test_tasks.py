@@ -107,3 +107,38 @@ def test_evaluate_folders(run_result, tmp_path):
     # Same folder on both sides → FID ~ 0.
     assert abs(m["frechet_inception_distance"]) < 1e-3
     assert (tmp_path / "eval.txt").exists()
+
+
+def test_resample_ab_demo_stages():
+    """The ddpm_run filtered-vs-plain resampling diagnostic
+    (reference modules/ddpm_tasks.py:177-278): stage names/shapes match the
+    reference chain and the filtered chain actually differs from the plain
+    one on a non-trivial image."""
+    import numpy as np
+
+    from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings
+    from aliasfree_diffusion_models_pytorch_tpu.tasks import resample_ab_demo
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (32, 32, 1)).astype(np.float32)
+    filtered, plain = resample_ab_demo(img, FilterSettings())
+
+    assert list(filtered) == [
+        "original", "downfilter", "downsample", "upsample", "upfilter"
+    ]
+    assert list(plain) == ["original", "downsample", "upsample"]
+    assert filtered["downsample"].shape == (16, 16, 1)
+    assert filtered["upfilter"].shape == (32, 32, 1)
+    np.testing.assert_array_equal(filtered["original"], img)
+    # The jinc prefilter must change the downsample input (alias suppression).
+    assert np.abs(filtered["downsample"] - plain["downsample"]).max() > 1e-3
+    # And the filtered chain is smoother: high-frequency energy strictly lower.
+    def hf_energy(a):
+        f = np.fft.fft2(a[:, :, 0])
+        f = np.fft.fftshift(f)
+        h, w = f.shape
+        mask = np.ones((h, w), bool)
+        mask[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = False
+        return float(np.sum(np.abs(f[mask]) ** 2))
+
+    assert hf_energy(filtered["upfilter"]) < hf_energy(plain["upsample"])

@@ -164,3 +164,71 @@ def test_resume_from_checkpoint(tmp_path):
          "step": jnp.zeros((), jnp.int32), "opt_state": restored["opt_state"]},
     )
     assert int(np.asarray(restored2["step"])) == 4
+
+
+def test_npz_checkpoint_roundtrip_through_resume(tmp_path, monkeypatch):
+    """ADVICE fix: the npz fallback must restore a *nested* payload (and,
+    with a template, the exact pytree structure incl. the optax opt_state) —
+    round 1 returned the flat dict and every consumer KeyError'd."""
+    from aliasfree_diffusion_models_pytorch_tpu.utils import checkpoint as ckpt_lib
+
+    config = tiny_config(epochs=1, checkpoint_opt_state=True)
+    _, state = create_train_state(config, random.key(0))
+    path = os.path.join(str(tmp_path), "ckpt_npz")
+    written = ckpt_lib.save_checkpoint(
+        path, state, save_opt_state=True, backend="npz"
+    )
+    assert written.endswith(".npz")
+
+    # Template restore: exact structure back, incl. optax namedtuples.
+    template = {
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "step": state.step,
+        "opt_state": state.opt_state,
+    }
+    restored = ckpt_lib.restore_checkpoint(path, template)
+    assert jax.tree_util.tree_structure(
+        restored["opt_state"]
+    ) == jax.tree_util.tree_structure(state.opt_state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(
+            {"params": state.params, "ema_params": state.ema_params,
+             "step": state.step, "opt_state": state.opt_state})
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Template-less restore: nested dicts, indexable as restored['params'].
+    restored2 = ckpt_lib.restore_checkpoint(path)
+    assert "params" in restored2 and "ema_params" in restored2
+    chex_leaf = jax.tree_util.tree_leaves(restored2["params"])[0]
+    assert np.asarray(chex_leaf).size > 0
+    assert int(np.asarray(restored2["step"])) == int(state.step)
+
+
+def test_train_resume_with_npz_backend(tmp_path, monkeypatch):
+    """Full train → npz save → train(resume=True) path with orbax disabled
+    (the default-install scenario from the advisor repro)."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_orbax(name, *a, **kw):
+        if name.startswith("orbax"):
+            raise ImportError("orbax disabled for test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_orbax)
+
+    config = tiny_config(epochs=1, checkpoint_opt_state=True)
+    ds = synthetic_dataset(n=8, image_size=8, channels=1)
+    train(config, Dataloader(ds, batch_size=4, seed=0), root=str(tmp_path),
+          sample_each_epoch=False)
+    assert os.path.exists(config.checkpoint_path(str(tmp_path)) + ".npz")
+    train(config, Dataloader(ds, batch_size=4, seed=0), root=str(tmp_path),
+          sample_each_epoch=False, resume=True)
+
+    from aliasfree_diffusion_models_pytorch_tpu.utils import checkpoint as ckpt_lib
+
+    restored = ckpt_lib.restore_checkpoint(config.checkpoint_path(str(tmp_path)))
+    assert int(np.asarray(restored["step"])) == 4
