@@ -32,6 +32,7 @@ LayerNorm eps 1e-5, align_corners=True bilinear upsample, torch default inits.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -342,6 +343,28 @@ class SelfAttention(nn.Module):
     num_heads: int = 4
     dtype: Optional[Dtype] = None
     precision: lax.Precision | None = HIGHEST
+    # "auto": fused Pallas flash attention on the TPU bf16 perf path for
+    # sequences >= 256 (profiled: the XLA path's HBM-materialized S x S
+    # logits dominate the train step — benchmarks/breakdown.py); "xla" and
+    # "flash" force a path; AFDM_FLASH_ATTN=0/1 overrides "auto".
+    attn_impl: str = "auto"
+
+    def _use_flash(self, seq_len: int) -> bool:
+        if self.attn_impl == "xla":
+            return False
+        if self.attn_impl == "flash":
+            return True
+        env = os.environ.get("AFDM_FLASH_ATTN")
+        if env in ("0", "1"):
+            return env == "1"
+        # auto: the perf path only — fp32 HIGHEST keeps the XLA einsums for
+        # exact torch parity; q-blocking needs seq to split cleanly.
+        return (
+            self.precision is None
+            and seq_len >= 256
+            and (seq_len <= 512 or seq_len % 512 == 0)
+            and jax.default_backend() == "tpu"
+        )
 
     @nn.compact
     def __call__(self, x):
@@ -364,17 +387,36 @@ class SelfAttention(nn.Module):
         def split_heads(a):
             return a.reshape(n, h * w, self.num_heads, head_dim)
 
-        # Manual scaled-dot-product attention (rather than
-        # jax.nn.dot_product_attention) so the matmul precision is pinned —
-        # torch scales q by 1/sqrt(head_dim) pre-matmul; equivalent here.
-        q = split_heads(q) * float(1.0 / np.sqrt(head_dim))
-        k = split_heads(k)
-        v = split_heads(v)
-        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k, precision=self.precision)
-        weights = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum(
-            "nhqk,nkhd->nqhd", weights, v, precision=self.precision
-        ).reshape(n, h * w, c)
+        if self._use_flash(h * w):
+            # Fused Pallas path: logits/weights stay in VMEM (f32 softmax),
+            # HBM sees only q/k/v/out. Same math as the einsum path below.
+            from aliasfree_diffusion_models_pytorch_tpu.ops.flash_attention import (
+                flash_mha,
+            )
+
+            def to_bhsd(a):
+                return split_heads(a).transpose(0, 2, 1, 3)
+
+            attn = flash_mha(
+                to_bhsd(q), to_bhsd(k), to_bhsd(v),
+                float(1.0 / np.sqrt(head_dim)),
+                jax.default_backend() != "tpu",  # interpret for CPU tests
+            ).transpose(0, 2, 1, 3).reshape(n, h * w, c)
+        else:
+            # Manual scaled-dot-product attention (rather than
+            # jax.nn.dot_product_attention) so the matmul precision is
+            # pinned — torch scales q by 1/sqrt(head_dim) pre-matmul;
+            # equivalent here.
+            qh = split_heads(q) * float(1.0 / np.sqrt(head_dim))
+            kh = split_heads(k)
+            vh = split_heads(v)
+            logits = jnp.einsum(
+                "nqhd,nkhd->nhqk", qh, kh, precision=self.precision
+            )
+            weights = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum(
+                "nhqk,nkhd->nqhd", weights, vh, precision=self.precision
+            ).reshape(n, h * w, c)
         attn = nn.Dense(
             c,
             kernel_init=torch_kernel_init,
