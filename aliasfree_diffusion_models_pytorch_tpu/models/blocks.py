@@ -358,10 +358,14 @@ class SelfAttention(nn.Module):
         if env in ("0", "1"):
             return env == "1"
         # auto: the perf path only — fp32 HIGHEST keeps the XLA einsums for
-        # exact torch parity; q-blocking needs seq to split cleanly.
+        # exact torch parity; q-blocking needs seq to split cleanly. The
+        # sequence threshold is measured (benchmarks/breakdown.py): XLA wins
+        # below it (the S x S tensors are small enough that fusion overhead
+        # dominates), the kernel wins above.
+        min_seq = int(os.environ.get("AFDM_FLASH_MIN_SEQ", "1024"))
         return (
             self.precision is None
-            and seq_len >= 256
+            and seq_len >= min_seq
             and (seq_len <= 512 or seq_len % 512 == 0)
             and jax.default_backend() == "tpu"
         )

@@ -1,28 +1,36 @@
 """Fused (flash-style) multi-head self-attention Pallas kernel.
 
 Why this exists: the UNet's ``SelfAttention`` blocks dominate the train step
-(profiled in ``benchmarks/breakdown.py``: 35 of 57 ms at batch 256, and the
-32x32-resolution block alone is 31 ms). The XLA path materializes the
+(profiled in ``benchmarks/breakdown.py``; the 32x32-resolution block alone is
+~27 ms of the 57 ms step at batch 256). The XLA path materializes the
 (B, H, S, S) logits/weights tensors in HBM — 2 GB per pass at
 (256, 4, 1024, 1024) bf16 — and re-reads them for softmax, the PV matmul and
 the backward. At these shapes the whole computation per (batch, head) is
-tiny: K and V are (S≤1024, D≤32), so the entire attention for one (batch,
-head, q-block) fits in VMEM. The kernel computes logits → softmax → PV
-without ever writing the S x S matrices to HBM; the backward recomputes them
+tiny: K and V are (S≤1024, D≤32), so attention for a group of (batch, head)
+pairs fits in VMEM. The kernel computes logits → f32 softmax → PV without
+ever writing the S x S matrices to HBM; the backward recomputes them
 (flash-attention style) and emits dQ/dK/dV the same way.
 
 No online-softmax streaming is needed (unlike long-context flash attention):
-S is small enough that a full logits *block* lives in VMEM, which keeps the
+S is small enough that a full logits block lives in VMEM, which keeps the
 kernel simple and the softmax numerically exact (f32 accumulation, stable
 max-subtraction — tighter than the XLA bf16 path).
+
+Two structural choices, both measured on v5e:
+
+* **Matmuls run in the input dtype** (bf16 on the perf path — one MXU pass;
+  f32 operands cost three) with ``preferred_element_type=f32`` accumulation.
+* **(batch, head) pairs are grouped per program** (``_pick_group``): at
+  S=256 a single pair is too little work per program/DMA, so the kernel
+  processes G pairs with batched ``dot_general``; at S=1024 G=1 and the
+  q axis is block-split instead.
 
 Semantics match the module's manual attention (torch ``nn.MultiheadAttention``
 convention, ``modules/ddpm_utils.py:54-74``): softmax(q·kᵀ/√D)·v per head.
 
-Layout: (B, H, S, D) — ``S`` on sublanes, ``D`` on lanes (padded to the
-128-lane tile; D is 8-32 here, so padding is the price of the tiny model,
-paid in VMEM only). Mosaic requires the last two block dims to be the tiled
-ones, hence heads ahead of sequence.
+Layout: inputs are (B, H, S, D); internally flattened to (B·H, S, D) so the
+last two block dims are the (sublane, lane)-tiled ones. D (8-32 here) is
+lane-padded to 128 in VMEM — the price of the tiny model, paid on-chip only.
 """
 
 from __future__ import annotations
@@ -36,6 +44,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_mha", "attention_reference"]
+
+_DOT_QK = (((2,), (2,)), ((0,), (0,)))   # contract D;        batch G
+_DOT_PV = (((2,), (1,)), ((0,), (0,)))   # contract S (k ax); batch G
+_DOT_T = (((1,), (1,)), ((0,), (0,)))    # contract q axis;   batch G
 
 
 def attention_reference(q, k, v, scale=None, precision=None):
@@ -51,100 +63,123 @@ def attention_reference(q, k, v, scale=None, precision=None):
     return jnp.einsum("nhqk,nhkd->nhqd", weights, v, precision=precision)
 
 
+def _pick_group(s: int, bh: int) -> int:
+    """(batch·head) pairs per program: keep the f32 S x S scratch ~<= 4 MB."""
+    for g in (16, 8, 4, 2, 1):
+        if g <= bh and bh % g == 0 and g * s * s * 4 <= 4 * 2**20:
+            return g
+    return 1
+
+
 def _pick_q_block(s: int) -> int:
-    # Full-S blocks up to 512 keep VMEM under ~6 MB incl. the f32 logits
-    # block; longer sequences split the q axis.
+    # Full-S q blocks up to 512; longer sequences split the q axis.
     return s if s <= 512 else 512
 
 
 def _fwd_kernel(scale: float, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0, 0].astype(jnp.float32)  # (Qblk, D)
-    k = k_ref[0, 0].astype(jnp.float32)  # (S, D)
-    v = v_ref[0, 0].astype(jnp.float32)  # (S, D)
+    q = q_ref[...]                       # (G, Qblk, D)
+    k = k_ref[...]                       # (G, S, D)
+    v = v_ref[...]                       # (G, S, D)
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                   # (Qblk, S) — VMEM only
+        q, k, _DOT_QK, preferred_element_type=jnp.float32
+    ) * scale                            # (G, Qblk, S) f32 — VMEM only
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, _DOT_PV, preferred_element_type=jnp.float32
+    )
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _bwd_kernel(scale: float, q_ref, k_ref, v_ref, g_ref,
                 dq_ref, dk_ref, dv_ref):
-    """Full recompute backward for one (batch, head).
+    """Full recompute backward for a group of (batch, head) pairs.
 
-    dK/dV need contributions from every q row, so the backward grid is
-    (B, H) with the whole S axis resident — still comfortably in VMEM at
-    S ≤ 1024 (the f32 S x S block is 4 MB).
-    """
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)
+    dK/dV need contributions from every q row, so the backward keeps the
+    whole S axis resident — comfortable in VMEM at S <= 1024 (the f32 S x S
+    block is 4 MB)."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
+    dt = q.dtype
 
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, _DOT_QK, preferred_element_type=jnp.float32
     ) * scale
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)       # (S, S)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)       # (G, S, S) f32
+    p_c = p.astype(dt)
 
-    # dV = Pᵀ g
+    # dV = Pᵀ g (contract the q axis)
     dv = jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_c, g, _DOT_T, preferred_element_type=jnp.float32
     )
     # dP = g Vᵀ ; dS = P ⊙ (dP − rowsum(dP ⊙ P))
     dp = jax.lax.dot_general(
-        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        g, v, _DOT_QK, preferred_element_type=jnp.float32
     )
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    ds_c = ds.astype(dt)
+    dq = jax.lax.dot_general(
+        ds_c, k, _DOT_PV, preferred_element_type=jnp.float32
+    ) * scale
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds_c, q, _DOT_T, preferred_element_type=jnp.float32
     ) * scale
 
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 def _flash_fwd(q, k, v, scale, interpret):
     b, h, s, d = q.shape
-    qblk = _pick_q_block(s)
-    grid = (b, h, s // qblk)
+    bh = b * h
+    q3, k3, v3 = (a.reshape(bh, s, d) for a in (q, k, v))
+    g = _pick_group(s, bh)
+    qblk = _pick_q_block(s) if g == 1 else s
+    grid = (bh // g, s // qblk)
     qspec = pl.BlockSpec(
-        (1, 1, qblk, d), lambda i, j, r: (i, j, r, 0), memory_space=pltpu.VMEM
+        (g, qblk, d), lambda i, r: (i, r, 0), memory_space=pltpu.VMEM
     )
     kvspec = pl.BlockSpec(
-        (1, 1, s, d), lambda i, j, r: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (g, s, d), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, float(scale)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=grid,
         in_specs=[qspec, kvspec, kvspec],
         out_specs=qspec,
         interpret=interpret,
-    )(q, k, v)
+    )(q3, k3, v3)
+    return out.reshape(b, h, s, d)
 
 
-def _flash_bwd(q, k, v, g, scale, interpret):
+def _flash_bwd(q, k, v, g_out, scale, interpret):
     b, h, s, d = q.shape
-    grid = (b, h)
-    spec = pl.BlockSpec(
-        (1, 1, s, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-    )
-    shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
-    return pl.pallas_call(
+    bh = b * h
+    args = [a.reshape(bh, s, d) for a in (q, k, v, g_out)]
+    # The backward holds ~4 f32 (G, S, S) temporaries — halve the group.
+    g = max(1, _pick_group(s, bh) // 2)
+    while bh % g:
+        g -= 1
+    grid = (bh // g,)
+    spec = pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((bh, s, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, float(scale)),
         out_shape=(shape, shape, shape),
         grid=grid,
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         interpret=interpret,
-    )(q, k, v, g)
+    )(*args)
+    shape4 = (b, h, s, d)
+    return dq.reshape(shape4), dk.reshape(shape4), dv.reshape(shape4)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
