@@ -52,6 +52,7 @@ from aliasfree_diffusion_models_pytorch_tpu.models.init import (
 from aliasfree_diffusion_models_pytorch_tpu.ops.filters import circular_lowpass_kernel
 from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
     downsample2x,
+    filtered_gelu,
     maxpool2x,
     upsample2x,
     upsample_bilinear_align_corners,
@@ -145,9 +146,7 @@ class FilteredGELU(nn.Module):
             )
 
             return fused_filtered_gelu(x, taps_key(up), taps_key(down))
-        x = upsample2x(x, up, precision=self.precision)
-        x = _gelu(x)
-        return downsample2x(x, down, precision=self.precision)
+        return filtered_gelu(x, up, down, precision=self.precision)
 
 
 class DoubleConv(nn.Module):

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
     downsample2x,
+    phase_terms as _phase_terms,
     upsample2x,
 )
 
@@ -46,32 +47,6 @@ def _lax_filtered_gelu(x, up_taps, down_taps):
     x = upsample2x(x, up_taps)
     x = jax.nn.gelu(x, approximate=False)
     return downsample2x(x, down_taps)
-
-
-def _phase_terms(k: int):
-    """Static polyphase index plans for factor-2 up and down convs."""
-    p = k // 2
-    up = {}  # (a, b) -> list of (dy, dx, row_shift, col_shift)
-    for a in (0, 1):
-        for b in (0, 1):
-            terms = []
-            for dy in range(k):
-                if (a + dy - p) % 2:
-                    continue
-                for dx in range(k):
-                    if (b + dx - p) % 2:
-                        continue
-                    terms.append((dy, dx, (a + dy - p) // 2, (b + dx - p) // 2))
-            up[(a, b)] = terms
-    down = []  # (dy, dx, phase_a, phase_b, row_shift, col_shift)
-    for dy in range(k):
-        a = (dy - p) % 2
-        r = (dy - p - a) // 2
-        for dx in range(k):
-            b = (dx - p) % 2
-            s = (dx - p - b) // 2
-            down.append((dy, dx, a, b, r, s))
-    return up, down
 
 
 def _shift2d(x_pad, m: int, r: int, s: int, h: int, w: int):

@@ -12,6 +12,7 @@ import pytest
 import torch
 import torch.nn.functional as TF
 
+import jax
 import jax.numpy as jnp
 
 from aliasfree_diffusion_models_pytorch_tpu.ops.filters import circular_lowpass_kernel
@@ -105,6 +106,43 @@ def test_filtered_gelu_matches_torch(x4d):
     t = TF.gelu(t)  # exact erf GELU — torch nn.GELU() default
     ref = nhwc(torch_down(t, down))
     np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_filtered_gelu_phases_matches_conv_and_torch(x4d):
+    """The polyphase elementwise formulation == the conv formulation == torch,
+    forward and gradient, across kernel sizes (incl. the production k=3)."""
+    from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
+        filtered_gelu_phases,
+    )
+
+    rng = np.random.default_rng(3)
+    for k in (3, 5, 7):
+        up = circular_lowpass_kernel(np.pi / 2, k, beta=2.0)
+        down = circular_lowpass_kernel(np.pi / 4, k, beta=1.5)
+        x = jnp.asarray(x4d)
+        got = np.asarray(filtered_gelu_phases(x, up, down))
+        want = np.asarray(filtered_gelu(x, up, down, impl="conv"))
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+        # torch oracle at k=3 (the production setting)
+        if k == 3:
+            t = torch_up(nchw(x4d), up)
+            t = TF.gelu(t)
+            ref = nhwc(torch_down(t, down))
+            np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+        # gradients agree (the phases backward is JAX-derived, all elementwise)
+        g = jnp.asarray(rng.standard_normal(x4d.shape).astype(np.float32))
+
+        def loss_phases(x):
+            return jnp.vdot(filtered_gelu_phases(x, up, down), g)
+
+        def loss_conv(x):
+            return jnp.vdot(filtered_gelu(x, up, down, impl="conv"), g)
+
+        gp = np.asarray(jax.grad(loss_phases)(x))
+        gc = np.asarray(jax.grad(loss_conv)(x))
+        np.testing.assert_allclose(gp, gc, atol=3e-6, rtol=1e-5)
 
 
 def test_maxpool_matches_torch(x4d):
