@@ -55,6 +55,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--image-gen-per-epoch", type=int, default=4)
     p.add_argument("--gen-per-batch", type=int, default=200)
     p.add_argument("--gen-total", type=int, default=2000)
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="class-conditional mode: labels flow from the dataloader")
+    p.add_argument("--label-dropout", type=float, default=0.0,
+                   help="CFG training: per-sample label-drop probability (~0.1)")
 
 
 def _config_from_args(args) -> "TrainConfig":
@@ -92,6 +96,8 @@ def _config_from_args(args) -> "TrainConfig":
         use_ema=args.use_ema,
         use_pallas=args.pallas,
         checkpoint_opt_state=getattr(args, "checkpoint_opt_state", False),
+        num_classes=args.num_classes,
+        label_dropout=args.label_dropout,
     )
 
 
@@ -119,6 +125,10 @@ def main(argv=None) -> int:
     sub.choices["sample"].add_argument("--ddim-steps", type=int, default=None,
         help="use the DDIM fast sampler with this many steps (default: 1000-step DDPM)")
     sub.choices["sample"].add_argument("--ddim-eta", type=float, default=0.0)
+    sub.choices["sample"].add_argument("--label", type=int, default=None,
+        help="conditional sampling: generate this class (needs --num-classes)")
+    sub.choices["sample"].add_argument("--cfg-scale", type=float, default=None,
+        help="classifier-free guidance scale (needs --label; train with --label-dropout)")
     sub.choices["rotate"].add_argument(
         "--thetas", default="-90:90:9", help="start:stop:count degrees"
     )
@@ -188,17 +198,18 @@ def main(argv=None) -> int:
         model, params = _load_model_params(config, args.root)
         d = Diffusion(noise_steps=config.noise_steps, img_size=config.image_size)
         apply_fn, params = _model_fn(model, params)
+        cond = dict(labels=args.label, cfg_scale=args.cfg_scale)
         if args.ddim_steps:
             final = d.sample_ddim(
                 apply_fn, n=args.n, image_channels=config.image_channels,
                 key=random.key(config.seed), steps=args.ddim_steps,
-                eta=args.ddim_eta, params=params,
+                eta=args.ddim_eta, params=params, **cond,
             )
         else:
             final, _ = d.sample(
                 apply_fn, n=args.n,
                 image_channels=config.image_channels, key=random.key(config.seed),
-                params=params,
+                params=params, **cond,
             )
         save_image_grid(np.asarray(final), args.out)
         print(f"wrote {args.out}")

@@ -122,6 +122,11 @@ class TrainConfig:
     # (modules/ddpm_models.py:253-258) but its pipeline never trains it;
     # here it is a first-class option (labels flow from the dataloader).
     num_classes: int | None = None
+    # Classifier-free-guidance training: per-sample probability of dropping
+    # the label embedding during a conditional train step (Ho & Salimans
+    # 2022). 0.0 = pure conditional training (reference semantics); ~0.1 is
+    # the standard CFG recipe. Only meaningful with num_classes set.
+    label_dropout: float = 0.0
 
     def __post_init__(self) -> None:
         if not 0 <= self.variant <= 4:
@@ -136,6 +141,12 @@ class TrainConfig:
             raise ValueError("batch_size must be >= 1 and epochs >= 0")
         if self.noise_steps < 2:
             raise ValueError("noise_steps must be >= 2")
+        if not 0.0 <= self.label_dropout < 1.0:
+            raise ValueError(
+                f"label_dropout must be in [0, 1), got {self.label_dropout}"
+            )
+        if self.label_dropout > 0.0 and self.num_classes is None:
+            raise ValueError("label_dropout requires num_classes")
 
     @classmethod
     def from_params(cls, params: Mapping[str, Any]) -> "TrainConfig":

@@ -114,6 +114,33 @@ class Diffusion:
     def _num_mid_snapshots(self) -> int:
         return (self.noise_steps - 1) // self.snapshot_every
 
+    def _eps_fn(self, apply_fn: ApplyFn, n: int, cfg_scale: float | None):
+        """Noise-prediction call, optionally conditional / CFG-guided.
+
+        With ``labels`` and a ``cfg_scale``, runs the conditional and
+        unconditional branches as ONE batch-doubled forward (label mask 1 for
+        the first half, 0 for the second — the mask-0 half computes exactly
+        the unconditional model) and combines them as
+        ``eps_u + s * (eps_c - eps_u)`` (Ho & Salimans 2022).
+        """
+
+        def eps(params, x, t, labels):
+            if labels is None:
+                return apply_fn(params, x, t)
+            if cfg_scale is None:
+                return apply_fn(params, x, t, labels)
+            xx = jnp.concatenate([x, x])
+            tt = jnp.concatenate([t, t])
+            yy = jnp.concatenate([labels, labels])
+            mm = jnp.concatenate(
+                [jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.float32)]
+            )
+            e = apply_fn(params, xx, tt, yy, mm)
+            e_c, e_u = e[:n], e[n:]
+            return e_u + cfg_scale * (e_c - e_u)
+
+        return eps
+
     def _scan_sampler(
         self,
         apply_fn: ApplyFn,
@@ -124,6 +151,8 @@ class Diffusion:
         rot: jax.Array | None = None,
         shift: int | None = None,
         collect_trajectory: bool = True,
+        labels: jax.Array | None = None,
+        cfg_scale: float | None = None,
     ):
         """Build the scan body shared by sample/revert/sample_shift.
 
@@ -143,11 +172,13 @@ class Diffusion:
             shift_mask = jnp.asarray(shift_mask_host)
             shift_sign = int(np.sign(shift))
 
+        eps_fn = self._eps_fn(apply_fn, n, cfg_scale)
+
         def body(carry, i):
             x, key, snaps = carry
             key, nkey = random.split(key)
             t = jnp.full((n,), i, jnp.int32)
-            eps = apply_fn(params, x, t)
+            eps = eps_fn(params, x, t, labels)
             alpha = self.alpha[i]
             alpha_hat = self.alpha_hat[i]
             beta = self.beta[i]
@@ -204,6 +235,25 @@ class Diffusion:
         x = (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0
         return (x * 255.0).astype(jnp.uint8)
 
+    @staticmethod
+    def _normalize_labels(labels, n, cfg_scale, params):
+        """Validate/broadcast sampler conditioning arguments."""
+        if labels is None:
+            if cfg_scale is not None:
+                raise ValueError("cfg_scale requires labels")
+            return None
+        if params is _NO_PARAMS:
+            raise ValueError(
+                "conditional sampling needs the (apply_fn, params) calling "
+                "convention — closure-style model_fn cannot take labels"
+            )
+        labels = jnp.asarray(labels, jnp.int32)
+        if labels.ndim == 0:
+            labels = jnp.full((n,), labels, jnp.int32)
+        if labels.shape != (n,):
+            raise ValueError(f"labels must be scalar or shape ({n},), got {labels.shape}")
+        return labels
+
     def sample(
         self,
         model_fn,
@@ -212,6 +262,8 @@ class Diffusion:
         key: jax.Array,
         theta: float | None = None,
         rotation_order: int = 3,
+        labels: jax.Array | None = None,
+        cfg_scale: float | None = None,
         params=_NO_PARAMS,
     ):
         """Ancestral sampling; returns ``(final_uint8, trajectory_uint8)``.
@@ -221,14 +273,26 @@ class Diffusion:
         ``((num_snaps)*n, H, W, C)`` — matching the reference's
         ``torch.cat(result)`` layout (``modules/ddpm_models.py:383``).
         With ``theta``, applies the Config-E per-step rotation.
+
+        Conditional models (``UNet(num_classes=...)``): pass ``labels`` (a
+        scalar class or an ``(n,)`` array). ``cfg_scale`` adds classifier-free
+        guidance — requires the model to have been trained with
+        ``label_dropout > 0``; scale 1.0 reduces exactly to conditional
+        sampling. (Beyond-parity: the reference defines the conditional UNet
+        but has no way to sample it — ``modules/ddpm_models.py:253-258``.)
         """
         apply_fn, p = _normalize_model(model_fn, params)
+        labels = self._normalize_labels(labels, n, cfg_scale, params)
         rot = None
         if theta is not None:
             rot = jnp.asarray(rotation_operator(
                 self.img_size, float(theta) / self.noise_steps, rotation_order))
-        run = self._jitted_run(n, image_channels, rot is not None, None, True)
-        x, snaps = run(apply_fn, p, key, rot)
+        run = self._jitted_run(
+            n, image_channels, rot is not None, None, True,
+            labels is not None,
+            float(cfg_scale) if cfg_scale is not None else None,
+        )
+        x, snaps = run(apply_fn, p, key, rot, labels)
         traj = snaps.reshape((-1,) + snaps.shape[2:])
         return self.to_uint8(x), self.to_uint8(traj)
 
@@ -237,7 +301,7 @@ class Diffusion:
         """Trajectory-only denoising demo (``modules/ddpm_models.py:326-350``)."""
         apply_fn, p = _normalize_model(model_fn, params)
         run = self._jitted_run(n, image_channels, False, None, True)
-        _, snaps = run(apply_fn, p, key, None)
+        _, snaps = run(apply_fn, p, key, None, None)
         return self.to_uint8(snaps.reshape((-1,) + snaps.shape[2:]))
 
     def sample_shift(
@@ -254,7 +318,7 @@ class Diffusion:
             shift = None
         apply_fn, p = _normalize_model(model_fn, params)
         run = self._jitted_run(n, image_channels, False, shift, False)
-        x, _ = run(apply_fn, p, key, None)
+        x, _ = run(apply_fn, p, key, None, None)
         return self.to_uint8(x)
 
     # ------------------------------------------------------------------
@@ -271,6 +335,8 @@ class Diffusion:
         eta: float = 0.0,
         theta: float | None = None,
         rotation_order: int = 3,
+        labels: jax.Array | None = None,
+        cfg_scale: float | None = None,
         params=_NO_PARAMS,
     ):
         """DDIM sampling over a strided timestep subsequence.
@@ -289,6 +355,7 @@ class Diffusion:
         Returns final uint8 images, shape ``(n, H, W, C)``.
         """
         apply_fn, p = _normalize_model(model_fn, params)
+        labels = self._normalize_labels(labels, n, cfg_scale, params)
         steps = int(steps)
         if not 1 <= steps < self.noise_steps:
             raise ValueError(f"steps must be in [1, noise_steps), got {steps}")
@@ -309,29 +376,36 @@ class Diffusion:
             rot = jnp.asarray(rotation_operator(
                 self.img_size, total / len(taus), rotation_order))
 
-        run = self._jitted_ddim(n, image_channels, len(taus), float(eta),
-                                rot is not None)
+        run = self._jitted_ddim(
+            n, image_channels, len(taus), float(eta), rot is not None,
+            labels is not None,
+            float(cfg_scale) if cfg_scale is not None else None,
+        )
         x = run(
             apply_fn, p, key,
             jnp.asarray(taus, jnp.int32),
             jnp.asarray(a_cur, jnp.float32),
             jnp.asarray(a_prev, jnp.float32),
             rot,
+            labels,
         )
         return self.to_uint8(x)
 
     @functools.lru_cache(maxsize=64)
-    def _jitted_ddim(self, n, channels, num_steps, eta, with_rotation):
+    def _jitted_ddim(self, n, channels, num_steps, eta, with_rotation,
+                     with_labels=False, cfg_scale=None):
         @functools.partial(jax.jit, static_argnums=0)
-        def run(apply_fn, params, key, taus, a_cur, a_prev, rot):
+        def run(apply_fn, params, key, taus, a_cur, a_prev, rot, labels=None):
             key, xkey = random.split(key)
             x = random.normal(xkey, (n, self.img_size, self.img_size, channels))
+            eps_fn = self._eps_fn(apply_fn, n, cfg_scale)
+            labels_t = labels if with_labels else None
 
             def body(carry, inputs):
                 x, key = carry
                 t, ac, ap = inputs
                 key, nkey = random.split(key)
-                eps = apply_fn(params, x, jnp.full((n,), t, jnp.int32))
+                eps = eps_fn(params, x, jnp.full((n,), t, jnp.int32), labels_t)
                 x0 = (x - jnp.sqrt(1.0 - ac) * eps) / jnp.sqrt(ac)
                 sigma = eta * jnp.sqrt(
                     jnp.clip((1.0 - ap) / (1.0 - ac), 0.0)
@@ -350,16 +424,17 @@ class Diffusion:
         return run
 
     @functools.lru_cache(maxsize=64)
-    def _jitted_run(self, n, channels, with_rotation, shift, collect):
+    def _jitted_run(self, n, channels, with_rotation, shift, collect,
+                    with_labels=False, cfg_scale=None):
         """One compiled executable per static sampler configuration.
 
-        ``apply_fn`` is static (a stable function/bound method); ``params``
-        and the rotation operator are traced — new checkpoints and new θ
-        values do NOT retrace.
+        ``apply_fn`` is static (a stable function/bound method); ``params``,
+        the rotation operator, and the labels are traced — new checkpoints,
+        new θ values, and new classes do NOT retrace.
         """
 
         @functools.partial(jax.jit, static_argnums=0)
-        def run(apply_fn, params, key, rot):
+        def run(apply_fn, params, key, rot, labels=None):
             return self._run(
                 apply_fn,
                 params,
@@ -369,6 +444,8 @@ class Diffusion:
                 rot=rot if with_rotation else None,
                 shift=shift,
                 collect_trajectory=collect,
+                labels=labels if with_labels else None,
+                cfg_scale=cfg_scale,
             )
 
         return run

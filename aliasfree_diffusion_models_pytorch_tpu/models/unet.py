@@ -141,7 +141,13 @@ class UNet(nn.Module):
     precision: lax.Precision | None = lax.Precision.HIGHEST
 
     @nn.compact
-    def __call__(self, x: jax.Array, t: jax.Array, y: jax.Array | None = None):
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        y: jax.Array | None = None,
+        y_mask: jax.Array | None = None,
+    ):
         if self.variant not in VARIANT_SPEC:
             raise ValueError("variant value must be between 0 and 4")
         if self.variant != 0 and self.filters is None:
@@ -163,9 +169,17 @@ class UNet(nn.Module):
         if y is not None:
             if self.num_classes is None:
                 raise ValueError("num_classes must be set for conditional mode")
-            t_emb = t_emb + LabelEmbedding(
+            label_emb = LabelEmbedding(
                 self.num_classes, self.time_dim, dtype=self.dtype, name="label_emb"
             )(y)
+            if y_mask is not None:
+                # Per-sample conditioning gate: 1.0 keeps the label embedding,
+                # 0.0 reduces the sample to the unconditional model (exactly
+                # what calling with y=None computes — tested). Used for CFG
+                # label dropout in training and for the batched
+                # conditional+unconditional CFG forward at sampling time.
+                label_emb = label_emb * y_mask.astype(label_emb.dtype)[:, None]
+            t_emb = t_emb + label_emb
 
         x1 = DoubleConv(s, name="inc", **dc)(x)
         x2 = Down(2 * s, resample=down_rs, conv_mode=stage_conv, name="down1", **kw)(

@@ -171,12 +171,22 @@ def make_train_step(
     use_ema = config.use_ema
     step_start_ema = 2000  # reference default (modules/ddpm_utils.py:42)
 
+    label_dropout = config.label_dropout
+
     def loss_fn(params, batch, key, labels):
-        tkey, nkey = random.split(key)
+        tkey, nkey, dkey = random.split(key, 3)
         t = diffusion.sample_timesteps(tkey, batch.shape[0])
         x_t, noise = diffusion.noise_images(batch, t, nkey)
         if labels is None:
             pred = model.apply(params, x_t, t)
+        elif label_dropout > 0.0:
+            # CFG training (Ho & Salimans 2022): drop the conditioning on a
+            # per-sample coin flip so the same network learns both the
+            # conditional and unconditional score.
+            keep = (
+                random.uniform(dkey, (batch.shape[0],)) >= label_dropout
+            ).astype(jnp.float32)
+            pred = model.apply(params, x_t, t, labels, keep)
         else:
             pred = model.apply(params, x_t, t, labels)
         return jnp.mean((noise - pred.astype(jnp.float32)) ** 2)

@@ -63,9 +63,7 @@ def _single_process_loss() -> float:
     return float(loss)
 
 
-@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
-def test_two_process_loss_matches_single_host():
-    port = _free_port()
+def _launch_workers(port: int):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [
@@ -76,6 +74,18 @@ def test_two_process_loss_matches_single_host():
         for pid in range(2)
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
+    return procs, outs
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_loss_matches_single_host():
+    # The coordination service's heartbeat/shutdown barriers time out when
+    # the host is CPU-starved (e.g. the rest of the suite running
+    # concurrently) — retry once on a fresh port before declaring failure.
+    for attempt in range(2):
+        procs, outs = _launch_workers(_free_port())
+        if all(p.returncode == 0 for p in procs):
+            break
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 
