@@ -45,9 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_mha", "attention_reference"]
 
-_DOT_QK = (((2,), (2,)), ((0,), (0,)))   # contract D;        batch G
-_DOT_PV = (((2,), (1,)), ((0,), (0,)))   # contract S (k ax); batch G
-_DOT_T = (((1,), (1,)), ((0,), (0,)))    # contract q axis;   batch G
+_DOT_QK = (((2,), (2,)), ((0,), (0,)))   # contract D (lane·lane); batch G
+_DOT_QKT = (((2,), (1,)), ((0,), (0,)))  # contract D vs pre-transposed (G,D,S)
+_DOT_PV = (((2,), (1,)), ((0,), (0,)))   # contract S (k ax);      batch G
+_DOT_T = (((1,), (1,)), ((0,), (0,)))    # contract q axis;        batch G
 
 
 def attention_reference(q, k, v, scale=None, precision=None):
@@ -76,109 +77,148 @@ def _pick_q_block(s: int) -> int:
     return s if s <= 512 else 512
 
 
-def _fwd_kernel(scale: float, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[...]                       # (G, Qblk, D)
+def _fwd_kernel(scale: float, k_ref, qt_ref, vt_ref, ot_ref):
+    """Forward in the TRANSPOSED world: logitsᵀ = K·Qᵀ, outᵀ = Vᵀ·Pᵀ.
+
+    Cost model (measured + MXU stream analysis): a matmul here costs
+    ≈ (LHS rows) × (contraction/128) × (output lane-tiles) row-passes, so
+    any matmul whose LHS has only D (8-32) rows is ~16x cheaper than one
+    streaming S rows. The plain layout needs TWO S-row matmuls (QK, PV);
+    the transposed layout needs ONE (K·Qᵀ) — the PV-equivalent
+    Vᵀ(D,S)·Pᵀ(S,Qblk) streams just D rows. Softmax reduces over the
+    sublane axis instead of lanes; the host transposes outᵀ back (cheap
+    XLA (bh, D, S) transpose)."""
     k = k_ref[...]                       # (G, S, D)
-    v = v_ref[...]                       # (G, S, D)
-    logits = jax.lax.dot_general(
-        q, k, _DOT_QK, preferred_element_type=jnp.float32
-    ) * scale                            # (G, Qblk, S) f32 — VMEM only
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v, _DOT_PV, preferred_element_type=jnp.float32
-    )
-    o_ref[...] = out.astype(o_ref.dtype)
+    qt = qt_ref[...]                     # (G, D, Qblk) — pre-transposed Q
+    vt = vt_ref[...]                     # (G, D, S) — pre-transposed V
+    logits_t = jax.lax.dot_general(
+        k, qt, _DOT_QKT, preferred_element_type=jnp.float32
+    ) * scale                            # (G, S, Qblk) f32 — VMEM only
+    m = jnp.max(logits_t, axis=1, keepdims=True)
+    p = jnp.exp(logits_t - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    out_t = jax.lax.dot_general(
+        vt, p.astype(vt.dtype), _DOT_QKT, preferred_element_type=jnp.float32
+    )                                    # (G, D, Qblk)
+    ot_ref[...] = out_t.astype(ot_ref.dtype)
 
 
-def _bwd_kernel(scale: float, q_ref, k_ref, v_ref, g_ref,
-                dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(scale: float, q_ref, qt_ref, k_ref, kt_ref, vt_ref, g_ref,
+                gt_ref, o_ref, dq_ref, dkt_ref, dvt_ref):
     """Full recompute backward for a group of (batch, head) pairs.
 
     dK/dV need contributions from every q row, so the backward keeps the
     whole S axis resident — comfortable in VMEM at S <= 1024 (the f32 S x S
-    block is 4 MB)."""
+    block is 4 MB). Every matmul runs in the MXU-native
+    (lane-of-LHS · sublane-of-RHS) orientation: the D-contractions take
+    pre-transposed (G, D, S) operands, and dK/dV are *produced* transposed
+    — (G, D, S) = (small D) x S — so no S x S operand ever needs an
+    internal relayout (the old sublane-sublane ``_DOT_T`` contractions
+    forced one on P and dS). The host transposes dKᵀ/dVᵀ back, a cheap
+    (bh, D, S) XLA transpose."""
     q = q_ref[...]
+    qt = qt_ref[...]
     k = k_ref[...]
-    v = v_ref[...]
+    kt = kt_ref[...]
+    vt = vt_ref[...]
     g = g_ref[...]
+    gt = gt_ref[...]
     dt = q.dtype
 
     logits = jax.lax.dot_general(
-        q, k, _DOT_QK, preferred_element_type=jnp.float32
+        q, kt, _DOT_QKT, preferred_element_type=jnp.float32
     ) * scale
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)       # (G, S, S) f32
     p_c = p.astype(dt)
 
-    # dV = Pᵀ g (contract the q axis)
-    dv = jax.lax.dot_general(
-        p_c, g, _DOT_T, preferred_element_type=jnp.float32
+    # dVᵀ = (Pᵀ g)ᵀ = gᵀ-row-major: dVᵀ[d, j] = Σ_i g[i, d] P[i, j]
+    dvt = jax.lax.dot_general(
+        gt, p_c, _DOT_QKT, preferred_element_type=jnp.float32
     )
-    # dP = g Vᵀ ; dS = P ⊙ (dP − rowsum(dP ⊙ P))
+    # dP = g Vᵀ ; dS = P ⊙ (dP − delta), with the flash-backward identity
+    # delta = rowsum(dP ⊙ P) = rowsum(g ⊙ out) — an (S, D)-sized reduction
+    # replacing a full S x S multiply + S x S rowsum.
     dp = jax.lax.dot_general(
-        g, v, _DOT_QK, preferred_element_type=jnp.float32
+        g, vt, _DOT_QKT, preferred_element_type=jnp.float32
     )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o_ref[...].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )
+    ds = p * (dp - delta)
     ds_c = ds.astype(dt)
     dq = jax.lax.dot_general(
         ds_c, k, _DOT_PV, preferred_element_type=jnp.float32
     ) * scale
-    dk = jax.lax.dot_general(
-        ds_c, q, _DOT_T, preferred_element_type=jnp.float32
+    # dKᵀ[d, j] = Σ_i q[i, d] dS[i, j]
+    dkt = jax.lax.dot_general(
+        qt, ds_c, _DOT_QKT, preferred_element_type=jnp.float32
     ) * scale
 
     dq_ref[...] = dq.astype(dq_ref.dtype)
-    dk_ref[...] = dk.astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
+    dkt_ref[...] = dkt.astype(dkt_ref.dtype)
+    dvt_ref[...] = dvt.astype(dvt_ref.dtype)
 
 
 def _flash_fwd(q, k, v, scale, interpret):
     b, h, s, d = q.shape
     bh = b * h
-    q3, k3, v3 = (a.reshape(bh, s, d) for a in (q, k, v))
+    k3 = k.reshape(bh, s, d)
+    qt = jnp.swapaxes(q.reshape(bh, s, d), 1, 2)  # (bh, D, S), XLA transpose
+    vt = jnp.swapaxes(v.reshape(bh, s, d), 1, 2)
     g = _pick_group(s, bh)
     qblk = _pick_q_block(s) if g == 1 else s
     grid = (bh // g, s // qblk)
-    qspec = pl.BlockSpec(
-        (g, qblk, d), lambda i, r: (i, r, 0), memory_space=pltpu.VMEM
-    )
-    kvspec = pl.BlockSpec(
+    kspec = pl.BlockSpec(
         (g, s, d), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    qtspec = pl.BlockSpec(
+        (g, d, qblk), lambda i, r: (i, 0, r), memory_space=pltpu.VMEM
+    )
+    vtspec = pl.BlockSpec(
+        (g, d, s), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_t = pl.pallas_call(
         functools.partial(_fwd_kernel, float(scale)),
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, d, s), q.dtype),
         grid=grid,
-        in_specs=[qspec, kvspec, kvspec],
-        out_specs=qspec,
+        in_specs=[kspec, qtspec, vtspec],
+        out_specs=qtspec,
         interpret=interpret,
-    )(q3, k3, v3)
-    return out.reshape(b, h, s, d)
+    )(k3, qt, vt)
+    return jnp.swapaxes(out_t, 1, 2).reshape(b, h, s, d)
 
 
-def _flash_bwd(q, k, v, g_out, scale, interpret):
+def _flash_bwd(q, k, v, out, g_out, scale, interpret):
     b, h, s, d = q.shape
     bh = b * h
-    args = [a.reshape(bh, s, d) for a in (q, k, v, g_out)]
+    q3, k3, v3, g3, o3 = (a.reshape(bh, s, d) for a in (q, k, v, g_out, out))
+    qt = jnp.swapaxes(q3, 1, 2)  # (bh, D, S) operands for the MXU-native
+    kt = jnp.swapaxes(k3, 1, 2)  # orientation of every kernel matmul
+    vt = jnp.swapaxes(v3, 1, 2)
+    gt = jnp.swapaxes(g3, 1, 2)
     # The backward holds ~4 f32 (G, S, S) temporaries — halve the group.
     g = max(1, _pick_group(s, bh) // 2)
     while bh % g:
         g -= 1
     grid = (bh // g,)
     spec = pl.BlockSpec((g, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((g, d, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((bh, s, d), q.dtype)
-    dq, dk, dv = pl.pallas_call(
+    tshape = jax.ShapeDtypeStruct((bh, d, s), q.dtype)
+    dq, dkt, dvt = pl.pallas_call(
         functools.partial(_bwd_kernel, float(scale)),
-        out_shape=(shape, shape, shape),
+        out_shape=(shape, tshape, tshape),
         grid=grid,
-        in_specs=[spec, spec, spec, spec],
-        out_specs=(spec, spec, spec),
+        in_specs=[spec, tspec, spec, tspec, tspec, spec, tspec, spec],
+        out_specs=(spec, tspec, tspec),
         interpret=interpret,
-    )(*args)
+    )(q3, qt, k3, kt, vt, g3, gt, o3)
     shape4 = (b, h, s, d)
+    dk = jnp.swapaxes(dkt, 1, 2)
+    dv = jnp.swapaxes(dvt, 1, 2)
     return dq.reshape(shape4), dk.reshape(shape4), dv.reshape(shape4)
 
 
@@ -197,13 +237,14 @@ def flash_mha(q, k, v, scale=None, interpret=False):
 
 def _mha_fwd_rule(q, k, v, scale, interpret):
     scale = float(scale) if scale is not None else float(1.0 / np.sqrt(q.shape[-1]))
-    return _flash_fwd(q, k, v, scale, interpret), (q, k, v)
+    out = _flash_fwd(q, k, v, scale, interpret)
+    return out, (q, k, v, out)
 
 
 def _mha_bwd_rule(scale, interpret, residuals, g):
-    q, k, v = residuals
+    q, k, v, out = residuals
     scale = float(scale) if scale is not None else float(1.0 / np.sqrt(q.shape[-1]))
-    dq, dk, dv = _flash_bwd(q, k, v, g, scale, interpret)
+    dq, dk, dv = _flash_bwd(q, k, v, out, g, scale, interpret)
     return dq, dk, dv
 
 
