@@ -134,14 +134,26 @@ def synthetic_dataset(
     n: int = 512, image_size: int = 32, channels: int = 1, seed: int = 0
 ) -> ArrayDataset:
     """Procedural stand-in (smooth random blobs in [-1, 1]) for tests/benches
-    when no real dataset is mounted."""
+    when no real dataset is mounted.
+
+    The class label DETERMINES the pattern's frequency band (class k →
+    frequencies ≈ 0.5 + 0.28·k, small jitter), so classes are visually
+    distinct and a conditional model can genuinely learn the mapping —
+    which makes class-conditional training / CFG demos measurable (the
+    dominant FFT frequency of a generated sample reveals its class; see
+    ``benchmarks/cfg_demo.py``).
+    """
     rng = np.random.default_rng(seed)
-    freq = rng.uniform(0.5, 3.0, (n, 2, channels))
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    freq = (
+        0.5
+        + 0.28 * labels[:, None, None]
+        + rng.uniform(0.0, 0.2, (n, 2, channels))
+    )
     phase = rng.uniform(0, 2 * np.pi, (n, 2, channels))
     yy, xx = np.mgrid[0:image_size, 0:image_size] / image_size * 2 * np.pi
     img = np.sin(freq[:, 0, None, None, :] * yy[None, :, :, None] + phase[:, 0, None, None, :]) \
         * np.sin(freq[:, 1, None, None, :] * xx[None, :, :, None] + phase[:, 1, None, None, :])
-    labels = rng.integers(0, 10, n).astype(np.int32)
     return ArrayDataset(img.astype(np.float32), labels)
 
 

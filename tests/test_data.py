@@ -125,3 +125,24 @@ def test_dataloader_uses_native_path_and_gather_matches_numpy():
     expect = ds.images[perm]
     got = np.concatenate(batches, axis=0)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_synthetic_labels_encode_frequency():
+    """The synthetic dataset's class label determines the pattern's dominant
+    frequency band (class k -> ~0.6 + 0.28k cycles/image), so conditional
+    models can genuinely learn the mapping and CFG demos are measurable
+    (benchmarks/cfg_demo.py decodes the class back from the FFT peak)."""
+    from aliasfree_diffusion_models_pytorch_tpu.data import synthetic_dataset
+
+    ds = synthetic_dataset(n=128, image_size=32, channels=1, seed=3)
+    pad = 256
+    correct = 0
+    for img, label in zip(ds.images, ds.labels):
+        spec = np.abs(np.fft.fft2(img[..., 0], s=(pad, pad)))
+        quad = spec[1 : pad // 2, 1 : pad // 2]
+        fy, fx = np.unravel_index(np.argmax(quad), quad.shape)
+        f = (fy + 1 + fx + 1) / 2.0 / (pad // 32)
+        correct += int(np.clip(round((f - 0.6) / 0.28), 0, 9)) == label
+    # band edges can alias a sample into the neighbor class; near-perfect is
+    # the contract
+    assert correct / len(ds.images) > 0.95
