@@ -256,10 +256,16 @@ def ddpm_run(
                 params=params,
             )
             save_gen_images(gen_dir, np.asarray(x), fileno)
-        make_collage(
-            gen_dir, gen_dir, config.collage_n_per_image, config.collage_n,
-            config.image_size,
-        )
+        # Clamp the collage request to what was actually generated — the CLI
+        # exposes gen_total but not the collage knobs, and a collage_n above
+        # gen_total would reference missing image_{i}.png files (found by
+        # driving `run --gen-total 128` with the default collage_n=2000).
+        collage_total = min(config.collage_n, config.gen_total)
+        per_collage = min(config.collage_n_per_image, collage_total)
+        if per_collage >= 1:
+            make_collage(
+                gen_dir, gen_dir, per_collage, collage_total, config.image_size,
+            )
 
     logger.info("ddpm_run finished in %.1fs", time.time() - t_run)
     return {

@@ -178,3 +178,16 @@ def test_train_end_to_end_conditional(tmp_path):
         checkpoint_each_epoch=False, prefetch=False,
     )
     assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_conditional_composes_with_rotation(cond_model):
+    """Config-E rotation and CFG conditioning are independent sampler
+    features; both applied at once must run and stay deterministic."""
+    model, params = cond_model
+    d = Diffusion(noise_steps=10, img_size=IMG, snapshot_every=5)
+    kw = dict(n=2, image_channels=1, key=random.key(6), params=params,
+              labels=jnp.array([2, 5]), cfg_scale=2.0, theta=45.0)
+    a, _ = d.sample(model.apply, **kw)
+    b, _ = d.sample(model.apply, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (2, IMG, IMG, 1)

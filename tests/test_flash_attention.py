@@ -36,6 +36,7 @@ def _qkv(b, h, s, d, dtype=jnp.float32, seed=0):
         (2, 4, 256, 8),    # sa5-like
         (2, 4, 256, 16),   # sa1-like
         (1, 4, 1024, 8),   # sa6-like (q-blocked: 1024 = 2x512)
+        (2, 2, 512, 16),   # g=4 grouped, single q-block
         (2, 2, 128, 32),
     ],
 )

@@ -33,8 +33,10 @@ def run_result(tmp_path_factory):
         seed=0,
         gen_per_batch=2,
         gen_total=4,
-        collage_n_per_image=4,
-        collage_n=4,
+        # Deliberately left at the reference defaults (400 per collage /
+        # 2000 total) while generating only 4 images: ddpm_run must clamp
+        # the collage request to what exists (regression — the unclamped
+        # stage crashed on image_4.png with `run --gen-total 128`).
         use_pallas=False,
     )
     result = ddpm_run(config, root=root)
