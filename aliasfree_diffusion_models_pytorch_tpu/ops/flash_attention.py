@@ -156,7 +156,12 @@ def _bwd_kernel(scale: float, q_ref, qt_ref, k_ref, kt_ref, vt_ref, g_ref,
         g.astype(jnp.float32) * o_ref[...].astype(jnp.float32),
         axis=-1, keepdims=True,
     )
-    ds = p * (dp - delta)
+    # p_c (input dtype) instead of the f32 p shrinks the f32 S x S live set
+    # from {p, dp, ds} to {dp, ds} — VMEM headroom for DMA pipelining at
+    # S=1024 where the block budget is tight. Identical math in f32 mode;
+    # on the bf16 path the softmax weights enter this product in bf16 (the
+    # same rounding the PV forward already uses).
+    ds = p_c * (dp - delta)
     ds_c = ds.astype(dt)
     dq = jax.lax.dot_general(
         ds_c, k, _DOT_PV, preferred_element_type=jnp.float32
