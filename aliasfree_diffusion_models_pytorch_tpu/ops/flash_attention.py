@@ -82,8 +82,10 @@ def _pick_group(s: int, bh: int) -> int:
 
 
 def _pick_q_block(s: int) -> int:
-    # Full-S q blocks up to 512; longer sequences split the q axis.
-    return s if s <= 512 else 512
+    # Full-S q blocks up to 1024 (the f32 logits block is 4 MB and the
+    # shrunk live set leaves room — measured: halving the program count at
+    # S=1024 is worth ~6% fwd); longer sequences split the q axis.
+    return s if s <= 1024 else 512
 
 
 def _fwd_kernel(scale: float, k_ref, qt_ref, vt_ref, ot_ref):
