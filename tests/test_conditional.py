@@ -191,3 +191,40 @@ def test_conditional_composes_with_rotation(cond_model):
     b, _ = d.sample(model.apply, **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.shape == (2, IMG, IMG, 1)
+
+
+def test_conditional_sharded_step_matches_single_device():
+    """Labels shard over the data axis like the batch; a conditional train
+    step on the virtual mesh must reproduce single-device numerics."""
+    from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+    )
+    from aliasfree_diffusion_models_pytorch_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    config = _cond_config(label_dropout=0.5, batch_size=8, variant=0,
+                          filters=None)
+    diffusion = Diffusion(noise_steps=20, img_size=IMG)
+    images = jnp.asarray(
+        np.asarray(random.normal(random.key(1), (8, IMG, IMG, 1)))
+    )
+    labels = jnp.arange(8, dtype=jnp.int32) % N_CLASSES
+
+    model, state_s = create_train_state(config, random.key(0))
+    step_single = make_train_step(model, config, diffusion, mesh=None)
+    state_s, loss_single = step_single(state_s, images, random.key(2), labels)
+
+    mesh = make_mesh(devices=jax.devices()[:4])
+    _, state_m = create_train_state(config, random.key(0))
+    step_mesh = make_train_step(model, config, diffusion, mesh)
+    batch = jax.device_put(images, batch_sharding(mesh))
+    lab = jax.device_put(labels, batch_sharding(mesh, ndim=1))
+    state_m, loss_mesh = step_mesh(state_m, batch, random.key(2), lab)
+
+    np.testing.assert_allclose(float(loss_mesh), float(loss_single), rtol=1e-6)
+    a = jax.tree.leaves(state_s.params)[0]
+    b = jax.tree.leaves(state_m.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
