@@ -19,8 +19,30 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache — first full run is slow on this 1-core host,
-# subsequent runs reuse compiled executables.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# subsequent runs reuse compiled executables. The cache dir is keyed by the
+# host's CPU feature set: XLA:CPU AOT cache entries do NOT include machine
+# features in their key, so when the session migrates to a different host
+# (observed under the tunnel) stale entries load and die with SIGILL
+# ("Machine type used for XLA:CPU compilation doesn't match"). A
+# per-machine dir makes migration start a fresh cache instead.
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_cpu_fingerprint()}"
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
