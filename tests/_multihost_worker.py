@@ -34,10 +34,7 @@ def main() -> None:
 
     from jax import random
 
-    from aliasfree_diffusion_models_pytorch_tpu.config import (
-        FilterSettings,
-        TrainConfig,
-    )
+    from aliasfree_diffusion_models_pytorch_tpu.config import TrainConfig
     from aliasfree_diffusion_models_pytorch_tpu.data import Dataloader, synthetic_dataset
     from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
     from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import make_mesh
@@ -49,7 +46,12 @@ def main() -> None:
     config = TrainConfig(
         run_name="mh", epochs=1, batch_size=8, image_size=8, image_channels=1,
         dataset="synthetic", dataset_path=None, lr=3e-4, noise_steps=50,
-        variant=3, filters=FilterSettings(), seed=0,
+        # Variant 0 (smallest graph): what this test proves — per-host
+        # sharded loading + mesh collectives == single-host numerics —
+        # is variant-independent, and the v3 compile (~2 min/worker on
+        # this 1-core host) widened the coordination-barrier timeout
+        # window enough to flake under full-suite memory pressure.
+        variant=0, filters=None, seed=0,
     )
     mesh = make_mesh()  # all devices across both processes
 

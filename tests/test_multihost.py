@@ -29,10 +29,7 @@ def _free_port() -> int:
 
 def _single_process_loss() -> float:
     """Same step as the workers, on this process's virtual mesh."""
-    from aliasfree_diffusion_models_pytorch_tpu.config import (
-        FilterSettings,
-        TrainConfig,
-    )
+    from aliasfree_diffusion_models_pytorch_tpu.config import TrainConfig
     from aliasfree_diffusion_models_pytorch_tpu.data import (
         Dataloader,
         synthetic_dataset,
@@ -50,7 +47,12 @@ def _single_process_loss() -> float:
     config = TrainConfig(
         run_name="mh", epochs=1, batch_size=8, image_size=8, image_channels=1,
         dataset="synthetic", dataset_path=None, lr=3e-4, noise_steps=50,
-        variant=3, filters=FilterSettings(), seed=0,
+        # Variant 0 (smallest graph): what this test proves — per-host
+        # sharded loading + mesh collectives == single-host numerics —
+        # is variant-independent, and the v3 compile (~2 min/worker on
+        # this 1-core host) widened the coordination-barrier timeout
+        # window enough to flake under full-suite memory pressure.
+        variant=0, filters=None, seed=0,
     )
     # 4-device mesh — the same global mesh size the 2x2-device workers build.
     mesh = make_mesh(devices=jax.devices()[:4])
@@ -66,6 +68,19 @@ def _single_process_loss() -> float:
 def _launch_workers(port: int):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # conftest's 8-virtual-device XLA_FLAGS must NOT leak into the workers:
+    # it overrides their jax_num_cpu_devices=2, giving 8 local devices per
+    # process and a mismatched Gloo rendezvous (16 inconsistent ranks) that
+    # dies with GetKeyValue()/connect timeouts — reproduced deterministically.
+    flags = env.get("XLA_FLAGS", "")
+    flags = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    if flags:
+        env["XLA_FLAGS"] = flags
+    else:
+        env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), "2", str(port)],
