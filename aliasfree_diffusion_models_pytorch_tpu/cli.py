@@ -116,9 +116,12 @@ def main(argv=None) -> int:
         ("shift", "translation sweep"),
         ("eval", "IS/FID/KID between two image folders"),
         ("info", "device and mesh report"),
+        ("summary", "model inspection: param count + per-layer shape table"),
+        ("sweep", "run the full pipeline for several variants (Train.ipynb cell 8)"),
+        ("reproduce-grid", "train + eval the published quality grid (README 176-193)"),
     ]:
         p = sub.add_parser(name, help=help_)
-        if name not in ("eval", "info"):
+        if name not in ("eval", "info", "reproduce-grid"):
             _add_common(p)
     sub.choices["sample"].add_argument("--n", type=int, default=16)
     sub.choices["sample"].add_argument("--out", default="samples.png")
@@ -135,6 +138,29 @@ def main(argv=None) -> int:
     sub.choices["rotate"].add_argument("--out", default="rotation")
     sub.choices["rotate"].add_argument("--fps", type=int, default=15)
     sub.choices["shift"].add_argument("--shifts", default="-8,0,8")
+    sub.choices["sweep"].add_argument(
+        "--variants", default="1,2,3",
+        help="comma-separated UNet variants to run (reference sweep: 1,2,3)")
+    rg = sub.choices["reproduce-grid"]
+    rg.add_argument("--dataset", default="MNIST", help="MNIST | CIFAR10 | MNISTM")
+    rg.add_argument("--dataset-path", default=None,
+                    help="real training data (CSV for MNIST, image tree otherwise); "
+                         "absent -> synthetic fallback, clearly labeled")
+    rg.add_argument("--inception-weights", default=None,
+                    help="local pt_inception/.npz weights; absent -> RandomFeatures "
+                         "(NOT comparable to published numbers)")
+    rg.add_argument("--configs", default=None,
+                    help="comma-separated subset (default: all 13, e.g. A,D-1N,D-2N)")
+    rg.add_argument("--epochs", type=int, default=100)
+    rg.add_argument("--batch-size", type=int, default=16)
+    rg.add_argument("--seed", type=int, default=42)
+    rg.add_argument("--gen-total", type=int, default=2000)
+    rg.add_argument("--gen-per-batch", type=int, default=200)
+    rg.add_argument("--image-size", type=int, default=32)
+    rg.add_argument("--image-channels", type=int, default=None)
+    rg.add_argument("--noise-steps", type=int, default=1000)
+    rg.add_argument("--root", default=".")
+    rg.add_argument("--out", default="sample_results/reproduced_grid.json")
     sub.choices["eval"].add_argument("generated_dir")
     sub.choices["eval"].add_argument("reference_dir")
     sub.choices["eval"].add_argument("--limit", type=int, default=None)
@@ -164,7 +190,50 @@ def main(argv=None) -> int:
         print(json.dumps(m, indent=2))
         return 0
 
+    if args.cmd == "reproduce-grid":
+        from aliasfree_diffusion_models_pytorch_tpu.reproduce import (
+            format_grid_markdown,
+            reproduce_grid,
+        )
+
+        result = reproduce_grid(
+            args.dataset, args.dataset_path,
+            configs=args.configs.split(",") if args.configs else None,
+            inception_weights=args.inception_weights,
+            epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
+            gen_total=args.gen_total, gen_per_batch=args.gen_per_batch,
+            image_size=args.image_size, image_channels=args.image_channels,
+            noise_steps=args.noise_steps, root=args.root, out_path=args.out,
+        )
+        print(format_grid_markdown(result))
+        print(f"wrote {args.out}")
+        return 0
+
     config = _config_from_args(args)
+
+    if args.cmd == "summary":
+        from aliasfree_diffusion_models_pytorch_tpu.models.unet import model_summary
+        from aliasfree_diffusion_models_pytorch_tpu.train import build_model
+
+        print(model_summary(build_model(config)))
+        return 0
+
+    if args.cmd == "sweep":
+        # The reference's multi-config study driver (Train.ipynb cell 8:
+        # ``for unet_v in unet_v_all: ...``) as a first-class subcommand —
+        # one full ddpm_run per variant, each in its own run_name tree.
+        import dataclasses
+
+        from aliasfree_diffusion_models_pytorch_tpu.tasks import ddpm_run
+
+        for v in (int(s) for s in args.variants.split(",")):
+            cfg_v = dataclasses.replace(
+                _config_from_args(argparse.Namespace(**{**vars(args), "variant": v})),
+                run_name=f"DDPM_Uncondtional_{args.dataset}_{v}",
+            )
+            print(f"=== sweep: variant {v} -> {cfg_v.run_name} ===")
+            ddpm_run(cfg_v, root=args.root)
+        return 0
 
     if args.cmd == "run":
         from aliasfree_diffusion_models_pytorch_tpu.tasks import ddpm_run

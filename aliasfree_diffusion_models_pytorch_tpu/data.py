@@ -257,11 +257,14 @@ class PrefetchLoader:
         sentinel = object()
 
         def worker():
+            # A loader exception must NOT degrade into a silent early
+            # end-of-epoch: enqueue it and re-raise in the consumer.
             try:
                 for item in self.loader:
                     q.put(item)
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -269,6 +272,9 @@ class PrefetchLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
 

@@ -45,7 +45,7 @@ from jax import lax, random
 
 from aliasfree_diffusion_models_pytorch_tpu.ops.rotation import (
     apply_pixel_operator,
-    rotation_operator,
+    build_rotation,
     shift_nhwc,
 )
 
@@ -285,8 +285,8 @@ class Diffusion:
         labels = self._normalize_labels(labels, n, cfg_scale, params)
         rot = None
         if theta is not None:
-            rot = jnp.asarray(rotation_operator(
-                self.img_size, float(theta) / self.noise_steps, rotation_order))
+            rot = build_rotation(
+                self.img_size, float(theta) / self.noise_steps, rotation_order)
         run = self._jitted_run(
             n, image_channels, rot is not None, None, True,
             labels is not None,
@@ -373,8 +373,8 @@ class Diffusion:
             # Total DDIM rotation == total DDPM rotation (θ·(N-1)/N), spread
             # uniformly over the len(taus) applications.
             total = float(theta) * (self.noise_steps - 1) / self.noise_steps
-            rot = jnp.asarray(rotation_operator(
-                self.img_size, total / len(taus), rotation_order))
+            rot = build_rotation(
+                self.img_size, total / len(taus), rotation_order)
 
         run = self._jitted_ddim(
             n, image_channels, len(taus), float(eta), rot is not None,

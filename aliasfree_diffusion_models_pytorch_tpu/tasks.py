@@ -248,14 +248,18 @@ def ddpm_run(
     # 8. Batch generation for the metric set (ddpm_tasks.py:332-336) + collages.
     if generate and config.gen_total > 0:
         for start_no in range(0, config.gen_total, config.gen_per_batch):
-            fileno = np.arange(start_no, start_no + config.gen_per_batch)
+            # The sampler batch stays at gen_per_batch (one compiled shape for
+            # every chunk); the trailing chunk only *saves* the images that
+            # were asked for, so exactly gen_total files are written.
+            n_save = min(config.gen_per_batch, config.gen_total - start_no)
+            fileno = np.arange(start_no, start_no + n_save)
             x, _ = diffusion.sample(
                 apply_fn, n=config.gen_per_batch,
                 image_channels=config.image_channels,
                 key=random.fold_in(random.key(config.seed), start_no),
                 params=params,
             )
-            save_gen_images(gen_dir, np.asarray(x), fileno)
+            save_gen_images(gen_dir, np.asarray(x)[:n_save], fileno)
         # Clamp the collage request to what was actually generated — the CLI
         # exposes gen_total but not the collage knobs, and a collage_n above
         # gen_total would reference missing image_{i}.png files (found by

@@ -4,13 +4,24 @@ Measures the jitted train step for UNet variant 3 (Config D — the headline
 architecture of the paper) on CIFAR-10-shaped data (32x32x3), the
 BASELINE.json primary metric. Runs on whatever accelerator JAX finds (the
 driver provides one real TPU chip); bfloat16 compute on TPU, float32 on CPU.
+If more than one accelerator is present, the step is sharded over the
+production ('data', 'fsdp') mesh and throughput is reported per chip.
 
 The reference publishes no throughput numbers and its GPU is unstated
 (SURVEY.md §6). ``vs_baseline`` is therefore measured against a documented
 ESTIMATE of the reference PyTorch stack on one A100: this 1.5M-param UNet
 with 6 attention blocks at 32x32, torch eager, batch 16 — ~1000 imgs/sec
 (small-batch eager training of this model is Python-dispatch-bound, not
-FLOP-bound). The north-star target is ≥5x that per chip.
+FLOP-bound; see benchmarks/torch_baseline.py for the measurement behind the
+estimate). The JSON additionally reports an ABSOLUTE yardstick:
+compiled FLOPs/step from XLA's cost analysis and the implied MFU against
+the chip's bf16 peak, so the headline number does not rest on the soft
+eager-torch denominator alone.
+
+Measurement discipline (RESULTS.md): under the axon tunnel
+``block_until_ready`` does NOT reliably wait for short dispatch queues —
+every timed region here ends with a forced device→host scalar fetch, and
+timed iterations vary their inputs (fresh PRNG key per step).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -19,6 +30,37 @@ import json
 import time
 
 A100_TORCH_IMGS_PER_SEC_EST = 1000.0  # documented estimate, see module docstring
+
+# Peak dense bf16 TFLOP/s per chip, by jax Device.device_kind substring
+# (public spec sheets; used only for the advisory MFU figure).
+_PEAK_BF16_TFLOPS = [
+    ("v6", 918.0),  # Trillium / v6e
+    ("v5p", 459.0),
+    ("v5", 197.0),  # v5e / "TPU v5 lite"
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+]
+
+
+def _peak_flops_per_sec(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for tag, tflops in _PEAK_BF16_TFLOPS:
+        if tag in kind:
+            return tflops * 1e12
+    return None
+
+
+def _compiled_flops(jitted, *args) -> float | None:
+    """FLOPs/step from XLA's cost analysis of the ALREADY-jitted callable."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):  # older jax returns [dict]
+            analysis = analysis[0]
+        flops = float(analysis["flops"])
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -36,10 +78,12 @@ def main() -> None:
         build_model,
         create_train_state,
         make_train_step,
+        state_sharding_tree,
     )
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    batch = 256 if on_tpu else 16
+    n_devices = len(jax.devices())
+    batch = (256 if on_tpu else 16) * max(1, n_devices if on_tpu else 1)
     config = TrainConfig(
         run_name="bench",
         epochs=1,
@@ -57,61 +101,100 @@ def main() -> None:
 
     model, state = create_train_state(config, random.key(0))
     diffusion = Diffusion(noise_steps=1000, img_size=32)
-    step = make_train_step(model, config, diffusion, mesh=None)
+
+    mesh = None
+    if on_tpu and n_devices > 1:
+        # Multi-chip hardware: measure the production sharded step the day
+        # it appears. data-parallel x fsdp, same layout as train()/dryrun.
+        from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+        )
+
+        shape = (n_devices // 2, 2) if n_devices % 2 == 0 and n_devices >= 4 \
+            else (n_devices, 1)
+        mesh = make_mesh(shape, ("data", "fsdp"))
+        st_shard = state_sharding_tree(mesh, state)
+        state = jax.device_put(state, st_shard)
+        step = make_train_step(model, config, diffusion, mesh,
+                               state_shardings=st_shard)
+    else:
+        step = make_train_step(model, config, diffusion, mesh=None)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((batch, 32, 32, 3)).astype(np.float32))
+    if mesh is not None:
+        images = jax.device_put(images, batch_sharding(mesh))
+
+    # FLOPs from the compiled executable (mesh=None path only: the AOT
+    # lowering of the sharded wrapper differs; single-chip is the MFU story).
+    flops_per_step = None
+    if mesh is None:
+        flops_per_step = _compiled_flops(step, state, images, random.key(0))
 
     # Warmup/compile.
     for i in range(3):
         state, loss = step(state, images, random.key(i))
-    jax.block_until_ready(loss)
+    float(loss)  # forced fetch — drains the dispatch queue before timing
 
     n_steps = 30 if on_tpu else 3
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = step(state, images, random.key(100 + i))
-    jax.block_until_ready(loss)
+    final_loss = float(loss)  # forced device→host fetch INSIDE the timed region
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_steps / dt
+    step_s = dt / n_steps
 
-    # Secondary metric: 1000-step ancestral sampling wall-clock (the whole
-    # chain is one compiled lax.scan; rotated Config-E costs the same).
-    sample_wall = None
+    mfu = None
+    peak = _peak_flops_per_sec(jax.devices()[0].device_kind) if on_tpu else None
+    if flops_per_step and peak:
+        mfu = flops_per_step / step_s / peak
+
+    # Secondary metrics: full 1000-step ancestral sampling and DDIM-50
+    # wall-clock (each chain is one compiled lax.scan; rotated Config-E
+    # costs the same). Timed per the discipline note: scalar fetch at the
+    # end, fresh key vs the warmup run.
+    sample_wall = ddim_wall = None
     if on_tpu:
-        from jax import random as jrandom
+        model_s = build_model(config)
+        sparams = model_s.init_params(random.key(0), batch=1)
 
-        diffusion_s = Diffusion(noise_steps=1000, img_size=32)
-        model = build_model(config)
-        sparams = model.init_params(jrandom.key(0), batch=1)
-        final, _ = diffusion_s.sample(
-            model.apply, n=16, image_channels=3, key=jrandom.key(0), params=sparams
-        )
-        jax.block_until_ready(final)  # compile
-        t0 = time.perf_counter()
-        final, _ = diffusion_s.sample(
-            model.apply, n=16, image_channels=3, key=jrandom.key(1), params=sparams
-        )
-        jax.block_until_ready(final)
-        sample_wall = round(time.perf_counter() - t0, 3)
+        def timed(fn):
+            fn(random.key(0))  # compile + warmup
+            t0 = time.perf_counter()
+            final = fn(random.key(1))
+            float(np.uint64(np.asarray(final).sum()))  # forced fetch
+            return round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_imgs_per_sec_chip",
-                "value": round(imgs_per_sec, 1),
-                "unit": "imgs/sec/chip (CIFAR-10 32x32, UNet variant 3 / Config D)",
-                "vs_baseline": round(imgs_per_sec / A100_TORCH_IMGS_PER_SEC_EST, 3),
-                "batch_size": batch,
-                "backend": jax.default_backend(),
-                "compute_dtype": config.compute_dtype,
-                "step_ms": round(1000 * dt / n_steps, 2),
-                "final_loss": float(loss),
-                "sample_1000step_n16_wall_s": sample_wall,
-            }
-        )
-    )
+        sample_wall = timed(lambda k: diffusion.sample(
+            model_s.apply, n=16, image_channels=3, key=k, params=sparams)[0])
+        ddim_wall = timed(lambda k: diffusion.sample_ddim(
+            model_s.apply, n=16, image_channels=3, key=k, steps=50,
+            params=sparams))
+
+    out = {
+        "metric": "train_imgs_per_sec_chip",
+        "value": round(imgs_per_sec / max(1, n_devices if mesh is not None else 1), 1),
+        "unit": "imgs/sec/chip (CIFAR-10 32x32, UNet variant 3 / Config D)",
+        "vs_baseline": round(
+            imgs_per_sec / max(1, n_devices if mesh is not None else 1)
+            / A100_TORCH_IMGS_PER_SEC_EST, 3),
+        "batch_size": batch,
+        "n_devices": n_devices,
+        "mesh": dict(mesh.shape) if mesh is not None else None,
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "compute_dtype": config.compute_dtype,
+        "step_ms": round(1000 * step_s, 2),
+        "final_loss": final_loss,
+        "flops_per_step": flops_per_step,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "sample_1000step_n16_wall_s": sample_wall,
+        "ddim_50step_n16_wall_s": ddim_wall,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -146,3 +146,24 @@ def test_synthetic_labels_encode_frequency():
     # band edges can alias a sample into the neighbor class; near-perfect is
     # the contract
     assert correct / len(ds.images) > 0.95
+
+
+def test_prefetch_loader_propagates_worker_exception():
+    """A raising loader must fail the epoch loudly, not degrade into a
+    silent early end-of-epoch (VERDICT r2 weak #4: the producer thread's
+    finally-put-sentinel converted exceptions into truncated epochs)."""
+    from aliasfree_diffusion_models_pytorch_tpu.data import PrefetchLoader
+
+    class Poisoned:
+        def __iter__(self):
+            yield np.zeros((2, 8, 8, 1)), np.zeros((2,), np.int32)
+            raise RuntimeError("disk died")
+
+        def __len__(self):
+            return 3
+
+    seen = 0
+    with pytest.raises(RuntimeError, match="disk died"):
+        for _ in PrefetchLoader(Poisoned()):
+            seen += 1
+    assert seen == 1  # good batches before the failure still flow through

@@ -75,13 +75,13 @@ def test_ddim_rotation_total_angle_matches_ddpm(monkeypatch):
     import aliasfree_diffusion_models_pytorch_tpu.diffusion as diff_mod
 
     captured = []
-    real_op = diff_mod.rotation_operator
+    real_op = diff_mod.build_rotation
 
     def spy(size, degrees, order=3):
         captured.append(float(degrees))
         return real_op(size, degrees, order)
 
-    monkeypatch.setattr(diff_mod, "rotation_operator", spy)
+    monkeypatch.setattr(diff_mod, "build_rotation", spy)
 
     n_steps, theta, img = 40, 30.0, 8
     d = Diffusion(noise_steps=n_steps, img_size=img)

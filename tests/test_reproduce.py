@@ -1,0 +1,71 @@
+"""reproduce-grid: the one-command published-quality-grid reproduction
+(VERDICT r2 next #3). Tiny-shape end-to-end run on the synthetic fallback +
+table/consistency units."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aliasfree_diffusion_models_pytorch_tpu.reproduce import (
+    GRID_CONFIGS,
+    PUBLISHED,
+    format_grid_markdown,
+    reproduce_grid,
+    validate_inception_weights,
+)
+
+
+def test_grid_tables_consistent():
+    """Every published row must have a runnable config and vice versa; the
+    13 configurations mirror README.md:178-190 exactly."""
+    assert len(GRID_CONFIGS) == 13
+    for dataset, rows in PUBLISHED.items():
+        assert set(rows) == set(GRID_CONFIGS), dataset
+    # Spot-check the headline cells (BASELINE.md): D-1N CIFAR FID 90.21,
+    # D-2N MNIST-M FID 82.46, A MNIST FID 9.61.
+    assert PUBLISHED["CIFAR10"]["D-1N"][1] == 90.21
+    assert PUBLISHED["MNISTM"]["D-2N"][1] == 82.46
+    assert PUBLISHED["MNIST"]["A"][1] == 9.61
+    # Naming decodes: letter -> variant, digit -> beta, N -> normalized.
+    assert GRID_CONFIGS["A"] == (0, None, True)
+    assert GRID_CONFIGS["D-2N"] == (3, 2.0, True)
+    assert GRID_CONFIGS["B-0"] == (1, 0.0, False)
+
+
+def test_validate_inception_weights_unknown(tmp_path):
+    p = tmp_path / "w.npz"
+    p.write_bytes(b"not real weights")
+    info = validate_inception_weights(str(p))
+    assert info["known"] is None
+    assert len(info["sha256"]) == 64
+
+
+def test_reproduce_grid_synthetic_end_to_end(tmp_path):
+    """Full pipeline on the synthetic fallback: train -> generate -> metric
+    -> JSON + markdown, labeled not-comparable."""
+    out = str(tmp_path / "grid.json")
+    result = reproduce_grid(
+        "MNIST", None,
+        configs=["A", "D-2N"],
+        epochs=1, batch_size=8, seed=0, gen_total=12, gen_per_batch=8,
+        image_size=8, image_channels=1, noise_steps=20,
+        root=str(tmp_path), out_path=out,
+    )
+    assert result["comparable_to_published"] is False
+    assert result["feature_space"] == "random-conv"
+    assert [r["config"] for r in result["rows"]] == ["A", "D-2N"]
+    for r in result["rows"]:
+        assert np.isfinite(r["fid"])
+        assert "delta_fid" not in r  # deltas only when comparable
+    assert os.path.exists(out)
+    with open(out) as f:
+        assert json.load(f)["dataset"] == "MNIST"
+    md = format_grid_markdown(result)
+    assert "NOT comparable" in md and "| A |" in md
+
+
+def test_reproduce_grid_rejects_unknown_config():
+    with pytest.raises(ValueError, match="unknown grid config"):
+        reproduce_grid("MNIST", None, configs=["Z-9"], epochs=1)

@@ -118,6 +118,53 @@ def test_fsdp_sharded_step_runs_and_shards():
     assert len(leaf.sharding.device_set) > 1
 
 
+def test_padded_batch_masks_duplicates():
+    """Trailing partial batches are padded to a shardable size by duplicating
+    samples; the duplicates must contribute NOTHING to loss or gradients
+    (VERDICT r2 weak #5). Proven by making the pad content garbage: loss and
+    the post-step params must be bit-identical to real-content padding."""
+    config = _config()
+    diffusion = Diffusion(noise_steps=20, img_size=8)
+    mesh = make_mesh((8, 1), ("data", "fsdp"))
+    real = synthetic_dataset(n=6, image_size=8, channels=1).images
+    key = random.key(3)
+    n_real = jnp.asarray(6, jnp.int32)
+
+    results = []
+    for pad_content in (real[:2], np.full_like(real[:2], 7.0)):
+        model, state = create_train_state(config, random.key(0))
+        step = make_train_step(model, config, diffusion, mesh=mesh)
+        batch = jax.device_put(
+            jnp.asarray(np.concatenate([real, pad_content], axis=0)),
+            batch_sharding(mesh),
+        )
+        state, loss = step(state, batch, key, None, n_real)
+        results.append((float(loss), jax.tree.leaves(state.params)))
+
+    (loss_a, params_a), (loss_b, params_b) = results
+    assert loss_a == loss_b
+    for a, b in zip(params_a, params_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_n_real_full_batch_is_plain_mean():
+    """n_real == batch size must reproduce the unmasked loss exactly."""
+    config = _config()
+    diffusion = Diffusion(noise_steps=20, img_size=8)
+    mesh = make_mesh((8, 1), ("data", "fsdp"))
+    batch_np = synthetic_dataset(n=8, image_size=8, channels=1).images
+    key = random.key(5)
+
+    model, state1 = create_train_state(config, random.key(0))
+    _, state2 = create_train_state(config, random.key(0))
+    step = make_train_step(model, config, diffusion, mesh=mesh)
+    batch = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))
+    _, loss_plain = step(state1, batch, key)
+    batch = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))
+    _, loss_masked = step(state2, batch, key, None, jnp.asarray(8, jnp.int32))
+    np.testing.assert_allclose(float(loss_plain), float(loss_masked), rtol=1e-6)
+
+
 def test_sharded_sampling():
     """Sampler over a data-sharded batch of latents."""
     mesh = make_mesh()
