@@ -9,7 +9,7 @@ A from-scratch TPU-first rebuild with the capabilities of
   variant 4 (reference: ``modules/ddpm_models.py:41-258``).
 * Alias-free resampling ops from windowed-jinc/Kaiser low-pass filter design
   (reference: ``modules/filtrs.py``) baked into the graph as trace-time
-  constants, with fused Pallas kernels on the hot path.
+  constants, with a fused Pallas flash-attention kernel on the hot path.
 * Rotation-equivariant sampling ("Config E", reference:
   ``modules/ddpm_models.py:352-386``) executed on-device as a precomputed
   MXU matmul instead of the reference's per-step CPU scipy round-trip.

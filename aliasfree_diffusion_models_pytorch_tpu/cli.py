@@ -43,8 +43,6 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="expose the README's non-normalized kernel configs")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--use-ema", action="store_true")
-    p.add_argument("--pallas", action="store_true",
-                   help="enable the fused Pallas filtered-GELU kernel")
     p.add_argument("--root", default=".", help="artifact root directory")
     p.add_argument("--profile-dir", default=None,
                    help="capture an XLA profiler trace of a few train steps here")
@@ -94,7 +92,6 @@ def _config_from_args(args) -> "TrainConfig":
         gen_total=args.gen_total,
         compute_dtype=args.compute_dtype,
         use_ema=args.use_ema,
-        use_pallas=args.pallas,
         checkpoint_opt_state=getattr(args, "checkpoint_opt_state", False),
         num_classes=args.num_classes,
         label_dropout=args.label_dropout,

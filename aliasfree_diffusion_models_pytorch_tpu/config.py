@@ -108,14 +108,10 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
     use_ema: bool = False  # reference EMA class exists but is never wired in
     ema_beta: float = 0.995
-    # Fused Pallas filtered-GELU kernel: opt-in. Measured on TPU v5e
-    # (benchmarks/sweep.py, batch 256, variant 3): XLA path 57.4 ms/step vs
-    # Pallas 83.7 ms/step — XLA's conv fusion wins at these 32x32 shapes, so
-    # the kernel stays available (and tested) but off by default. The default
-    # XLA path now uses the same polyphase decomposition as pure elementwise
-    # code (ops/resample.py:filtered_gelu_phases; AFDM_FG_IMPL overrides),
-    # measured v3 44.0 -> 40.1 ms/step vs the grouped-conv formulation.
-    use_pallas: bool = False
+    # The filtered GELU lowers to the polyphase elementwise formulation
+    # (ops/resample.py:filtered_gelu_phases; AFDM_FG_IMPL overrides) — the
+    # measured winner over both the grouped-conv XLA path and two generations
+    # of hand-fused Pallas kernels (post-mortem in ops/resample.py docs).
     checkpoint_opt_state: bool = False  # reference saves weights only
     time_dim: int = 256
     # Class-conditional mode: the reference defines the conditional UNet

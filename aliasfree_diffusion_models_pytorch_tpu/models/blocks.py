@@ -128,24 +128,17 @@ class FilteredGELU(nn.Module):
     """2x alias-free upsample → GELU → 2x alias-free downsample.
 
     The Config-C primitive injected around every GELU of the filtered blocks
-    (``modules/ddpm_utils.py:118-142``). ``use_pallas`` switches the fused
-    Pallas kernel in on TPU (validated against this XLA path in tests).
+    (``modules/ddpm_utils.py:118-142``). Lowers to the polyphase elementwise
+    formulation (``ops/resample.py:filtered_gelu_phases``) on the measured
+    default path; see that module's docs for the fused-Pallas post-mortem.
     """
 
     filters: FilterSettings
-    use_pallas: bool = False
     precision: lax.Precision | None = HIGHEST
 
     @nn.compact
     def __call__(self, x):
         up, down = design_taps(self.filters)
-        if self.use_pallas:
-            from aliasfree_diffusion_models_pytorch_tpu.ops.pallas_kernels import (
-                fused_filtered_gelu,
-                taps_key,
-            )
-
-            return fused_filtered_gelu(x, taps_key(up), taps_key(down))
         return filtered_gelu(x, up, down, precision=self.precision)
 
 
@@ -168,7 +161,6 @@ class DoubleConv(nn.Module):
     residual: bool = False
     conv_mode: str = "plain"  # plain | filtered | filtered4
     filters: Optional[FilterSettings] = None
-    use_pallas: bool = False
     dtype: Optional[Dtype] = None
     precision: lax.Precision | None = HIGHEST
 
@@ -191,9 +183,7 @@ class DoubleConv(nn.Module):
         up, down = design_taps(self.filters)
 
         def fgelu(h):
-            return FilteredGELU(
-                self.filters, use_pallas=self.use_pallas, precision=self.precision
-            )(h)
+            return FilteredGELU(self.filters, precision=self.precision)(h)
 
         if self.conv_mode == "filtered":
             h = conv1(x)
@@ -258,7 +248,6 @@ class Down(nn.Module):
     resample: str = "maxpool"  # maxpool | aliasfree
     conv_mode: str = "plain"
     filters: Optional[FilterSettings] = None
-    use_pallas: bool = False
     dtype: Optional[Dtype] = None
     precision: lax.Precision | None = HIGHEST
 
@@ -275,7 +264,6 @@ class Down(nn.Module):
         kw = dict(
             conv_mode=self.conv_mode,
             filters=self.filters,
-            use_pallas=self.use_pallas,
             dtype=self.dtype,
             precision=self.precision,
         )
@@ -298,7 +286,6 @@ class Up(nn.Module):
     resample: str = "bilinear"  # bilinear | aliasfree
     conv_mode: str = "plain"
     filters: Optional[FilterSettings] = None
-    use_pallas: bool = False
     dtype: Optional[Dtype] = None
     precision: lax.Precision | None = HIGHEST
 
@@ -316,7 +303,6 @@ class Up(nn.Module):
         kw = dict(
             conv_mode=self.conv_mode,
             filters=self.filters,
-            use_pallas=self.use_pallas,
             dtype=self.dtype,
             precision=self.precision,
         )

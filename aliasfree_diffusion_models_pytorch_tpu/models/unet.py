@@ -136,7 +136,6 @@ class UNet(nn.Module):
     num_classes: Optional[int] = None
     variant: int = 0
     time_table_size: int = 1024  # exact-embedding table; covers t < noise_steps
-    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
     precision: lax.Precision | None = lax.Precision.HIGHEST
 
@@ -157,7 +156,6 @@ class UNet(nn.Module):
         s = int(self.image_size)
         kw = dict(
             filters=self.filters,
-            use_pallas=self.use_pallas,
             dtype=self.dtype,
             precision=self.precision,
         )

@@ -19,6 +19,30 @@ TPU-native rebuild of the reference's resampling primitives
 compensation of StyleGAN3 — with sum-1 taps and 3/4 zero samples the output
 DC is attenuated ~4x; the trained weights compensate. ``gain`` defaults to
 1.0 to match; pass ``gain=factor**2`` for the textbook behavior.
+
+Fused-Pallas post-mortem (rounds 2-3): two generations of a hand-fused
+filtered-GELU Pallas kernel were built, measured, and deleted.
+
+* Round 2 put channels on the lane axis and padded tap shifts with in-kernel
+  zero-concats: at C=32 only a quarter of each lane tile was useful and the
+  concats serialized the VPU — full v3 step 83.7 ms vs 57.4 ms XLA.
+* Round 3 reworked it structurally: batch on the lane axis (relayout-free at
+  the XLA batch-minor activation layouts, full lane tiles at any C), all tap
+  shifts as address offsets along the untiled H/W dims, rolling H-strips with
+  manual-DMA halos, a hand-derived fused backward, exact-erf GELU via the
+  A&S 7.1.26 rational approximation. It won the forward at the deep shapes
+  (256ch@8/4: 1.1-1.2 ms vs 1.5-1.8 ms XLA) but lost fwd+bwd at the shallow
+  ones that dominate the graph (32ch@32: 3.9 vs 1.6 ms; VMEM stack overflow
+  at batch 256 forced small strips) — full v3 step 56.0 ms vs 36.6 ms.
+
+Both losses trace to the same structural squeeze: the sandwich's working set
+(input strip + 4 phase planes + halos, f32 accumulators) exceeds what fits
+in the ~16 MB scoped-VMEM budget at batch 256, so the kernel is forced into
+small strips whose fixed per-program cost (DMA setup, pipeline drain)
+swamps the HBM traffic it saves, while XLA's fused elementwise loops run at
+its preferred batch-minor layouts with mature pipelining. The winning
+formulation IS the polyphase math, kept here as
+:func:`filtered_gelu_phases`; its derivation follows in :func:`phase_terms`.
 """
 
 from __future__ import annotations
@@ -230,9 +254,18 @@ def phase_terms(k: int):
     output-parity-(a, b) plane of the zero-stuffed upsample conv directly from
     the low-res grid; ``down`` lists ``(dy, dx, phase_a, phase_b, row_shift,
     col_shift)`` mapping each decimating-conv tap onto a constant-offset read
-    of a phase plane. Derivation in ``ops/pallas_kernels.py`` module docs;
-    validated against the conv formulation (and the torch oracle) in
-    ``tests/test_resample.py`` / ``tests/test_pallas.py``.
+    of a phase plane.
+
+    Derivation (odd k, p = k//2, cross-correlation, zero 'same' padding):
+
+      up-phase  y[2i+a, 2j+b] = Σ_{dy≡p-a (2), dx≡p-b (2)} h[dy,dx] ·
+                                  x[i+(a+dy-p)/2, j+(b+dx-p)/2]
+      down      z[i, j]       = Σ_{dy,dx} g[dy,dx] · y_phase(a',b')[i+r, j+s]
+                with a'=(dy-p) mod 2, r=(dy-p-a')/2 (same for columns).
+
+    Validated against the conv formulation (and the torch oracle) and against
+    direct zero-stuff/conv/decimate evaluation in pure numpy in
+    ``tests/test_resample.py``.
     """
     p = k // 2
     up = {}

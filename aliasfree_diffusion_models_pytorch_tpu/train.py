@@ -93,7 +93,6 @@ def build_model(config: TrainConfig) -> UNet:
         # timestep: t < noise_steps. Undersizing it makes jnp.take fill NaN
         # for out-of-range t (advisor finding: noise_steps=1500 → NaN loss).
         time_table_size=max(1024, config.noise_steps),
-        use_pallas=config.use_pallas,
         dtype=jnp.dtype(config.compute_dtype) if bf16 else None,
         # fp32 pins HIGHEST matmul precision (torch parity); bf16 uses the
         # backend default — the MXU-native single-pass path.

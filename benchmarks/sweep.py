@@ -1,4 +1,4 @@
-"""Performance sweep on the current backend: precision x pallas x variant.
+"""Performance sweep on the current backend: precision x fg-impl x variant.
 
 Times the full train step under several implementation choices so defaults
 are chosen from measurements, not guesses. Run on TPU:
@@ -15,9 +15,13 @@ import json
 import time
 
 
-def time_config(label, *, variant, compute_dtype, use_pallas, precision,
-                batch, steps, resample_impl="conv"):
+def time_config(label, *, variant, compute_dtype, precision,
+                batch, steps, resample_impl="conv", fg_impl=None):
     os.environ["AFDM_RESAMPLE_IMPL"] = resample_impl
+    if fg_impl is not None:
+        os.environ["AFDM_FG_IMPL"] = fg_impl
+    else:
+        os.environ.pop("AFDM_FG_IMPL", None)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,12 +44,12 @@ def time_config(label, *, variant, compute_dtype, use_pallas, precision,
         image_channels=3, dataset="CIFAR10", dataset_path=None, lr=3e-4,
         noise_steps=1000, variant=variant,
         filters=None if variant == 0 else FilterSettings(),
-        compute_dtype=compute_dtype, use_pallas=use_pallas,
+        compute_dtype=compute_dtype,
     )
     prec = {"highest": lax.Precision.HIGHEST, "default": None}[precision]
     model = UNet(
         c_in=3, c_out=3, image_size=32,
-        filters=config.filters, variant=variant, use_pallas=use_pallas,
+        filters=config.filters, variant=variant,
         dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
         precision=prec,
     )
@@ -77,18 +81,18 @@ def time_config(label, *, variant, compute_dtype, use_pallas, precision,
     t0 = time.perf_counter()
     for i in range(2):
         state, loss = step(state, images, random.key(i))
-    jax.block_until_ready(loss)
+    float(loss)  # fetch-forced sync (RESULTS.md measurement discipline)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, loss = step(state, images, random.key(100 + i))
-    jax.block_until_ready(loss)
+    float(loss)  # fetch-forced sync
     dt = time.perf_counter() - t0
     result = {
         "label": label, "imgs_per_sec": round(batch * steps / dt, 1),
         "step_ms": round(1000 * dt / steps, 2), "compile_s": round(compile_s, 1),
-        "variant": variant, "dtype": compute_dtype, "pallas": use_pallas,
+        "variant": variant, "dtype": compute_dtype, "fg_impl": fg_impl or "auto",
         "precision": precision,
     }
     print(json.dumps(result), flush=True)
@@ -103,15 +107,16 @@ def main():
     args = ap.parse_args()
 
     grid = [
-        ("v3 bf16 pallas+default", dict(variant=3, compute_dtype="bfloat16",
-                                        use_pallas=True, precision="default")),
-        ("v3 bf16 xla+default", dict(variant=3, compute_dtype="bfloat16",
-                                     use_pallas=False, precision="default")),
-        ("v3 bf16 shifts+default", dict(variant=3, compute_dtype="bfloat16",
-                                        use_pallas=False, precision="default",
-                                        resample_impl="shifts")),
+        ("v3 bf16 fg-phases", dict(variant=3, compute_dtype="bfloat16",
+                                   precision="default", fg_impl="phases",
+                                   resample_impl="shifts")),
+        ("v3 bf16 fg-conv", dict(variant=3, compute_dtype="bfloat16",
+                                 precision="default", fg_impl="conv",
+                                 resample_impl="shifts")),
+        ("v3 bf16 conv-resample", dict(variant=3, compute_dtype="bfloat16",
+                                       precision="default")),
         ("v0 bf16 shifts", dict(variant=0, compute_dtype="bfloat16",
-                                use_pallas=False, precision="default",
+                                precision="default",
                                 resample_impl="shifts")),
     ]
     if args.quick:

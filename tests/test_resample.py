@@ -182,3 +182,59 @@ def test_upsample_shifts_impl_matches_conv(taps, x4d):
     want = np.asarray(upsample2x(jnp.asarray(x4d), taps, 2, impl="conv"))
     got = np.asarray(upsample2x_shifts(jnp.asarray(x4d), taps, 2))
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_polyphase_plan_matches_direct_numpy(k):
+    """The static index plan (``phase_terms``) must reproduce
+    zero-stuff → conv → gelu → conv → decimate computed directly in numpy."""
+    from scipy.special import erf
+
+    from aliasfree_diffusion_models_pytorch_tpu.ops.filters import (
+        circular_lowpass_kernel,
+    )
+    from aliasfree_diffusion_models_pytorch_tpu.ops.resample import phase_terms
+
+    rng = np.random.default_rng(0)
+    h = w = 6
+    x = rng.standard_normal((h, w)).astype(np.float64)
+    hu = np.asarray(circular_lowpass_kernel(np.pi / 2, k, beta=2.0), np.float64)
+    hd = np.asarray(circular_lowpass_kernel(np.pi / 3, k, beta=1.0), np.float64)
+    p = k // 2
+
+    def corr_same(a, taps_):
+        ph, pw = taps_.shape
+        ap = np.pad(a, ((p, p), (p, p)))
+        out = np.zeros_like(a)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                out[i, j] = (ap[i : i + ph, j : j + pw] * taps_).sum()
+        return out
+
+    def gelu(v):
+        return v * 0.5 * (1 + erf(v / np.sqrt(2)))
+
+    stuffed = np.zeros((2 * h, 2 * w))
+    stuffed[::2, ::2] = x
+    y = gelu(corr_same(stuffed, hu))
+    want = corr_same(y, hd)[::2, ::2]
+
+    up_plan, down_plan = phase_terms(k)
+    m = max(p, 1)
+    xp = np.pad(x, ((m, m), (m, m)))
+
+    def shift(a_pad, r, s):
+        return a_pad[m + r : m + r + h, m + s : m + s + w]
+
+    phases = {}
+    for (a, b), terms in up_plan.items():
+        acc = np.zeros((h, w))
+        for dy, dx, r, s in terms:
+            acc += hu[dy, dx] * shift(xp, r, s)
+        phases[(a, b)] = gelu(acc)
+    got = np.zeros((h, w))
+    ppad = {key: np.pad(v, ((m, m), (m, m))) for key, v in phases.items()}
+    for dy, dx, a, b, r, s in down_plan:
+        got += hd[dy, dx] * shift(ppad[(a, b)], r, s)
+
+    np.testing.assert_allclose(got, want, atol=1e-12)

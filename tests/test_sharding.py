@@ -38,7 +38,7 @@ def _config(**kw):
         run_name="shard_test", epochs=1, batch_size=8, image_size=8,
         image_channels=1, dataset="synthetic", dataset_path=None, lr=3e-4,
         noise_steps=20, variant=3, filters=FilterSettings(), seed=0,
-        gen_total=0, use_pallas=False,
+        gen_total=0,
     )
     base.update(kw)
     return TrainConfig(**base)

@@ -39,7 +39,6 @@ def run_result(tmp_path_factory):
         # 2000 total) while generating only 4 images: ddpm_run must clamp
         # the collage request to what exists (regression — the unclamped
         # stage crashed on image_4.png with `run --gen-total 128`).
-        use_pallas=False,
     )
     result = ddpm_run(config, root=root)
     return config, root, result
