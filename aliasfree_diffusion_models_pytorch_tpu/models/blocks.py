@@ -53,6 +53,7 @@ from aliasfree_diffusion_models_pytorch_tpu.ops.filters import circular_lowpass_
 from aliasfree_diffusion_models_pytorch_tpu.ops.resample import (
     downsample2x,
     filtered_gelu,
+    gelu_exact,
     maxpool2x,
     upsample2x,
     upsample_bilinear_align_corners,
@@ -68,8 +69,10 @@ HIGHEST = lax.Precision.HIGHEST
 
 def _gelu(x):
     """Exact erf GELU — torch ``nn.GELU()`` default (NOT the tanh approximation
-    that ``jax.nn.gelu`` defaults to)."""
-    return jax.nn.gelu(x, approximate=False)
+    that ``jax.nn.gelu`` defaults to). bf16 inputs take the minimax-polynomial
+    fast path (``ops/resample.py:gelu_exact`` — 3.1e-4 worst case, an order
+    below bf16 rounding); f32 stays the erf form for torch parity."""
+    return gelu_exact(x)
 
 
 def design_taps(f: FilterSettings) -> tuple[np.ndarray, np.ndarray]:
@@ -344,10 +347,11 @@ class SelfAttention(nn.Module):
             return env == "1"
         # auto: the perf path only — fp32 HIGHEST keeps the XLA einsums for
         # exact torch parity; q-blocking needs seq to split cleanly. The
-        # sequence threshold is measured (benchmarks/breakdown.py): XLA wins
-        # below it (the S x S tensors are small enough that fusion overhead
-        # dominates), the kernel wins above.
-        min_seq = int(os.environ.get("AFDM_FLASH_MIN_SEQ", "1024"))
+        # sequence threshold is measured (benchmarks/attn_variants.py, v5e):
+        # after the round-2 orientation rework the kernel wins 2.7x at S=256
+        # (fwd+bwd 1.7 vs 4.6 ms at batch 256); XLA ties at S=64 and keeps
+        # the sub-256 shapes.
+        min_seq = int(os.environ.get("AFDM_FLASH_MIN_SEQ", "256"))
         return (
             self.precision is None
             and seq_len >= min_seq

