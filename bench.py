@@ -161,12 +161,16 @@ def main() -> None:
         model_s = build_model(config)
         sparams = model_s.init_params(random.key(0), batch=1)
 
-        def timed(fn):
-            fn(random.key(0))  # compile + warmup
+        def timed(fn, iters=3):
+            out = fn(random.key(0))  # compile + warmup
+            float(np.uint64(np.asarray(out).sum()))  # drain the queue
             t0 = time.perf_counter()
-            final = fn(random.key(1))
-            float(np.uint64(np.asarray(final).sum()))  # forced fetch
-            return round(time.perf_counter() - t0, 3)
+            for i in range(iters):
+                final = fn(random.key(1 + i))
+                # forced fetch EVERY iteration: under the axon tunnel a
+                # single enqueued scan can report dispatch time, not run time
+                float(np.uint64(np.asarray(final).sum()))
+            return round((time.perf_counter() - t0) / iters, 3)
 
         sample_wall = timed(lambda k: diffusion.sample(
             model_s.apply, n=16, image_channels=3, key=k, params=sparams)[0])
