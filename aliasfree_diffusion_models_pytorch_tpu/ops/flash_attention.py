@@ -89,7 +89,16 @@ def _pick_q_block(s: int) -> int:
     return s if s <= 1024 else 512
 
 
-def _fwd_kernel(scale: float, k_ref, qt_ref, vt_ref, ot_ref):
+def _stats_on() -> bool:
+    """Softmax-stat reuse (fold the softmax division out of the S x S domain
+    in the forward and hand (m, denom) to the backward, which then skips its
+    max/sum reductions and division pass). AFDM_FLASH_STATS=0 restores the
+    round-2 self-contained kernels."""
+    return os.environ.get("AFDM_FLASH_STATS", "1") != "0"
+
+
+def _fwd_kernel(scale: float, mode: str, k_ref, qt_ref, vt_ref, ot_ref,
+                m_ref=None, s_ref=None):
     """Forward in the TRANSPOSED world: logitsᵀ = K·Qᵀ, outᵀ = Vᵀ·Pᵀ.
 
     Cost model (measured + MXU stream analysis): a matmul here costs
@@ -108,15 +117,29 @@ def _fwd_kernel(scale: float, k_ref, qt_ref, vt_ref, ot_ref):
     ) * scale                            # (G, S, Qblk) f32 — VMEM only
     m = jnp.max(logits_t, axis=1, keepdims=True)
     p = jnp.exp(logits_t - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    out_t = jax.lax.dot_general(
-        vt, p.astype(vt.dtype), _DOT_QKT, preferred_element_type=jnp.float32
-    )                                    # (G, D, Qblk)
+    ssum = jnp.sum(p, axis=1, keepdims=True)
+    if mode in ("fold", "stats"):
+        # UNNORMALIZED weights into the PV matmul; the 1/Σ normalization
+        # moves from the (S, Qblk) domain to the (D, Qblk) output — one
+        # fewer full-block VPU pass. "stats" additionally emits (m, Σ) so
+        # the backward can skip its reductions.
+        out_t = jax.lax.dot_general(
+            vt, p.astype(vt.dtype), _DOT_QKT, preferred_element_type=jnp.float32
+        ) / ssum                         # (G, D, Qblk) / (G, 1, Qblk)
+        if mode == "stats":
+            m_ref[...] = m
+            s_ref[...] = ssum
+    else:
+        p = p / ssum
+        out_t = jax.lax.dot_general(
+            vt, p.astype(vt.dtype), _DOT_QKT, preferred_element_type=jnp.float32
+        )                                # (G, D, Qblk)
     ot_ref[...] = out_t.astype(ot_ref.dtype)
 
 
-def _bwd_kernel(scale: float, dqt: bool, q_ref, qt_ref, k_ref, kt_ref, vt_ref,
-                g_ref, gt_ref, o_ref, dq_ref, dkt_ref, dvt_ref):
+def _bwd_kernel(scale: float, dqt: bool, stats: bool, q_ref, qt_ref, k_ref,
+                kt_ref, vt_ref, g_ref, gt_ref, o_ref, m_ref, s_ref,
+                dq_ref, dkt_ref, dvt_ref):
     """Full recompute backward for a group of (batch, head) pairs.
 
     dK/dV need contributions from every q row, so the backward keeps the
@@ -140,14 +163,26 @@ def _bwd_kernel(scale: float, dqt: bool, q_ref, qt_ref, k_ref, kt_ref, vt_ref,
     logits = jax.lax.dot_general(
         q, kt, _DOT_QKT, preferred_element_type=jnp.float32
     ) * scale
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)       # (G, S, S) f32
-    p_c = p.astype(dt)
+    if stats:
+        # Forward-saved softmax stats: skip the max/sum reductions and keep
+        # the weights UNNORMALIZED — the 1/Σ ends up as a row scale on gᵀ
+        # (for dV) and inside the (dP − δ) factor (for dS), both of which
+        # leave the S x S domain.
+        mi = jnp.swapaxes(m_ref[...], 1, 2)          # (G, S, 1)
+        inv_s = 1.0 / jnp.swapaxes(s_ref[...], 1, 2)  # (G, S, 1)
+        p_c = jnp.exp(logits - mi).astype(dt)         # unnormalized
+        gt_scaled = gt * jnp.swapaxes(inv_s, 1, 2)    # (G, D, S) · (G, 1, S)
+    else:
+        mi = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mi)
+        inv_s = None
+        p = p / jnp.sum(p, axis=-1, keepdims=True)   # (G, S, S) f32
+        p_c = p.astype(dt)
+        gt_scaled = gt
 
     # dVᵀ = (Pᵀ g)ᵀ = gᵀ-row-major: dVᵀ[d, j] = Σ_i g[i, d] P[i, j]
     dvt = jax.lax.dot_general(
-        gt, p_c, _DOT_QKT, preferred_element_type=jnp.float32
+        gt_scaled, p_c, _DOT_QKT, preferred_element_type=jnp.float32
     )
     # dP = g Vᵀ ; dS = P ⊙ (dP − delta), with the flash-backward identity
     # delta = rowsum(dP ⊙ P) = rowsum(g ⊙ out) — an (S, D)-sized reduction
@@ -164,7 +199,10 @@ def _bwd_kernel(scale: float, dqt: bool, q_ref, qt_ref, k_ref, kt_ref, vt_ref,
     # S=1024 where the block budget is tight. Identical math in f32 mode;
     # on the bf16 path the softmax weights enter this product in bf16 (the
     # same rounding the PV forward already uses).
-    ds = p_c * (dp - delta)
+    if stats:
+        ds = p_c * ((dp - delta) * inv_s)
+    else:
+        ds = p_c * (dp - delta)
     ds_c = ds.astype(dt)
     if dqt:
         # dQᵀ = Kᵀ·dSᵀ — trades the third S-row matmul (dS(S,S)·K, ~S/D x
@@ -190,7 +228,10 @@ def _bwd_kernel(scale: float, dqt: bool, q_ref, qt_ref, k_ref, kt_ref, vt_ref,
     dvt_ref[...] = dvt.astype(dvt_ref.dtype)
 
 
-def _flash_fwd(q, k, v, scale, interpret):
+def _flash_fwd(q, k, v, scale, interpret, with_stats=False):
+    """Forward kernel wrapper. ``with_stats=True`` (the vjp path with
+    softmax-stat reuse on) additionally returns the per-query softmax
+    ``(max, denom)`` as two (bh, 1, S) f32 arrays for the backward."""
     b, h, s, d = q.shape
     bh = b * h
     k3 = k.reshape(bh, s, d)
@@ -208,18 +249,35 @@ def _flash_fwd(q, k, v, scale, interpret):
     vtspec = pl.BlockSpec(
         (g, d, s), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    mode = ("stats" if with_stats else "fold") if _stats_on() else "plain"
+    out_shape = jax.ShapeDtypeStruct((bh, d, s), q.dtype)
+    if mode == "stats":
+        sspec = pl.BlockSpec(
+            (g, 1, qblk), lambda i, r: (i, 0, r), memory_space=pltpu.VMEM
+        )
+        sshape = jax.ShapeDtypeStruct((bh, 1, s), jnp.float32)
+        out_t, m, ssum = pl.pallas_call(
+            functools.partial(_fwd_kernel, float(scale), mode),
+            out_shape=(out_shape, sshape, sshape),
+            grid=grid,
+            in_specs=[kspec, qtspec, vtspec],
+            out_specs=(qtspec, sspec, sspec),
+            interpret=interpret,
+        )(k3, qt, vt)
+        return jnp.swapaxes(out_t, 1, 2).reshape(b, h, s, d), m, ssum
     out_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, float(scale)),
-        out_shape=jax.ShapeDtypeStruct((bh, d, s), q.dtype),
+        functools.partial(_fwd_kernel, float(scale), mode),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[kspec, qtspec, vtspec],
         out_specs=qtspec,
         interpret=interpret,
     )(k3, qt, vt)
-    return jnp.swapaxes(out_t, 1, 2).reshape(b, h, s, d)
+    out = jnp.swapaxes(out_t, 1, 2).reshape(b, h, s, d)
+    return (out, None, None) if with_stats else out
 
 
-def _flash_bwd(q, k, v, out, g_out, scale, interpret):
+def _flash_bwd(q, k, v, out, m, ssum, g_out, scale, interpret):
     b, h, s, d = q.shape
     bh = b * h
     q3, k3, v3, g3, o3 = (a.reshape(bh, s, d) for a in (q, k, v, g_out, out))
@@ -238,14 +296,30 @@ def _flash_bwd(q, k, v, out, g_out, scale, interpret):
     tshape = jax.ShapeDtypeStruct((bh, d, s), q.dtype)
     env_dqt = os.environ.get("AFDM_FLASH_DQT")
     dqt_mode = (env_dqt == "1") if env_dqt in ("0", "1") else s >= 512
+    stats = m is not None
+    inputs = [q3, qt, k3, kt, vt, g3, gt, o3]
+    in_specs = [spec, tspec, spec, tspec, tspec, spec, tspec, spec]
+    if stats:
+        sspec = pl.BlockSpec(
+            (g, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        inputs += [m, ssum]
+        in_specs += [sspec, sspec]
+        kern = functools.partial(_bwd_kernel, float(scale), dqt_mode, True)
+    else:
+        def kern(*refs):
+            (q_r, qt_r, k_r, kt_r, vt_r, g_r, gt_r, o_r,
+             dq_r, dk_r, dv_r) = refs
+            _bwd_kernel(float(scale), dqt_mode, False, q_r, qt_r, k_r, kt_r,
+                        vt_r, g_r, gt_r, o_r, None, None, dq_r, dk_r, dv_r)
     dq, dkt, dvt = pl.pallas_call(
-        functools.partial(_bwd_kernel, float(scale), dqt_mode),
+        kern,
         out_shape=(tshape if dqt_mode else shape, tshape, tshape),
         grid=grid,
-        in_specs=[spec, tspec, spec, tspec, tspec, spec, tspec, spec],
+        in_specs=in_specs,
         out_specs=(tspec if dqt_mode else spec, tspec, tspec),
         interpret=interpret,
-    )(q3, qt, k3, kt, vt, g3, gt, o3)
+    )(*inputs)
     shape4 = (b, h, s, d)
     if dqt_mode:
         dq = jnp.swapaxes(dq, 1, 2)
@@ -269,14 +343,14 @@ def flash_mha(q, k, v, scale=None, interpret=False):
 
 def _mha_fwd_rule(q, k, v, scale, interpret):
     scale = float(scale) if scale is not None else float(1.0 / np.sqrt(q.shape[-1]))
-    out = _flash_fwd(q, k, v, scale, interpret)
-    return out, (q, k, v, out)
+    out, m, ssum = _flash_fwd(q, k, v, scale, interpret, with_stats=True)
+    return out, (q, k, v, out, m, ssum)
 
 
 def _mha_bwd_rule(scale, interpret, residuals, g):
-    q, k, v, out = residuals
+    q, k, v, out, m, ssum = residuals
     scale = float(scale) if scale is not None else float(1.0 / np.sqrt(q.shape[-1]))
-    dq, dk, dv = _flash_bwd(q, k, v, out, g, scale, interpret)
+    dq, dk, dv = _flash_bwd(q, k, v, out, m, ssum, g, scale, interpret)
     return dq, dk, dv
 
 
