@@ -294,17 +294,27 @@ def phase_terms(k: int):
     return up, down
 
 
-# Odd minimax polynomial for erf(u) = u·P(u²) on |u| <= 3.2 with the exact
-# endpoint constraint P(3.2²)·3.2 = 1, so clamping |u| to 3.2 gives exact ±1
-# tails (no 0.5·x·ε tail blow-up). Tail-weighted fit (weight ∝ |u|, the GELU
-# error amplification): max |gelu_poly − gelu_erf| = 3.1e-4, an order below
-# bf16 resolution (~4e-3 at unit scale); max derivative error 5.5e-3.
-_ERF_POLY = (
-    1.125444417647, -0.36664255535687895, 0.1014598909303451,
-    -0.019817652461991995, 0.0026105449193712326, -0.00021827440412148228,
-    1.037115621404242e-05, -2.1202791897760148e-07,
+# Minimax polynomials for gelu(x) = x·(0.5 + x_c·R(x_c²)), x_c = clip(x, ±XC):
+# R(x²) ≈ 0.5·erf(x/√2)/x directly in the *x* domain, so the 1/√2 argument
+# scale and the 0.5 output scale live inside the coefficients (two fewer VPU
+# ops per eval than the u = x/√2 form). Endpoint constraint XC·R(XC²) = 0.5
+# exactly, so the clamp tails give exact gelu(x) = x / 0. Fit jointly minimax
+# in value AND derivative (IRLS; value budget 4e-4, derivative 6e-3 — the
+# derivative is what training gradients see):
+#   deg 15 (default): max |gelu err| 3.7e-4, max |d/dx err| 1.8e-3
+#   deg 13 (AFDM_GELU=poly13): 1.4e-3 / 6.8e-3 — one Horner FMA cheaper,
+#   still under bf16 rounding (~4e-3 at unit scale) in value.
+_GELU_POLY_15 = (
+    0.39847720532397357, -0.06533923798456039, 0.009128171697420397,
+    -0.0008978316975850138, 5.914830951568466e-05, -2.454260270985954e-06,
+    5.750126543924546e-08, -5.770954416805585e-10,
 )
-_ERF_CLAMP = 3.2
+_GELU_POLY_13 = (
+    0.39736903338755974, -0.06336353822103462, 0.008126449758425384,
+    -0.0006760143548142659, 3.4051160496925107e-05, -9.359854638467884e-07,
+    1.0721949130855751e-08,
+)
+_GELU_CLAMP = 3.2 * float(np.sqrt(2.0))  # |erf(x/√2)| == 1 to f32 beyond
 
 
 def gelu_exact(x: jax.Array) -> jax.Array:
@@ -313,20 +323,23 @@ def gelu_exact(x: jax.Array) -> jax.Array:
 
     f32 inputs use ``jax.nn.gelu(approximate=False)`` verbatim — the parity
     path stays bit-faithful to the erf form. bf16 inputs (the TPU perf path)
-    evaluate the ``_ERF_POLY`` minimax polynomial in f32: ~13 VPU ops with a
-    polynomial autodiff backward, replacing the much longer erf/exp expansion
-    — its 3.1e-4 worst-case error is an order of magnitude below bf16
-    rounding. ``AFDM_GELU=exact`` forces the erf form everywhere.
+    evaluate ``_GELU_POLY_15`` in f32: ~13 VPU ops with a polynomial autodiff
+    backward, replacing the much longer erf/exp expansion — its 3.7e-4
+    worst-case value error (1.8e-3 derivative error) is an order below bf16
+    rounding. ``AFDM_GELU=exact`` forces the erf form everywhere;
+    ``AFDM_GELU=poly13`` selects the one-FMA-cheaper degree-13 fit.
     """
-    if x.dtype != jnp.bfloat16 or os.environ.get("AFDM_GELU") == "exact":
+    mode = os.environ.get("AFDM_GELU")
+    if x.dtype != jnp.bfloat16 or mode == "exact":
         return jax.nn.gelu(x, approximate=False)
+    coefs = _GELU_POLY_13 if mode == "poly13" else _GELU_POLY_15
     xf = x.astype(jnp.float32)
-    u = jnp.clip(xf * np.float32(1.0 / np.sqrt(2.0)), -_ERF_CLAMP, _ERF_CLAMP)
-    t = u * u
-    p = jnp.float32(_ERF_POLY[-1])
-    for coef in _ERF_POLY[-2::-1]:
+    xc = jnp.clip(xf, -_GELU_CLAMP, _GELU_CLAMP)
+    t = xc * xc
+    p = jnp.float32(coefs[-1])
+    for coef in coefs[-2::-1]:
         p = p * t + jnp.float32(coef)
-    return (xf * 0.5 * (1.0 + u * p)).astype(x.dtype)
+    return (xf * (0.5 + xc * p)).astype(x.dtype)
 
 
 def filtered_gelu_phases(x: jax.Array, up_taps, down_taps) -> jax.Array:

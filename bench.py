@@ -27,9 +27,26 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
+import sys
 import time
 
 A100_TORCH_IMGS_PER_SEC_EST = 1000.0  # documented estimate, see module docstring
+
+# Persistent compilation cache: the bench host can have as little as ONE CPU
+# core, and XLA:TPU compilation of the variant-3 train step (flash-attention
+# Pallas kernels included) is host-CPU-bound — cold compiles are minutes.
+# TPU cache entries are keyed by platform+HLO (no cross-host machine-feature
+# trap like XLA:CPU AOT, tests/conftest.py), so a warm cache makes repeat
+# invocations on the same VM start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
+def _note(msg: str) -> None:
+    """Progress marker on stderr (stdout carries only the final JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 # Peak dense bf16 TFLOP/s per chip, by jax Device.device_kind substring
 # (public spec sheets; used only for the advisory MFU figure).
@@ -99,8 +116,10 @@ def main() -> None:
         compute_dtype="bfloat16" if on_tpu else "float32",
     )
 
+    _note(f"backend={jax.default_backend()} devices={n_devices} batch={batch}")
     model, state = create_train_state(config, random.key(0))
     diffusion = Diffusion(noise_steps=1000, img_size=32)
+    _note("train state created")
 
     mesh = None
     if on_tpu and n_devices > 1:
@@ -131,11 +150,13 @@ def main() -> None:
     flops_per_step = None
     if mesh is None:
         flops_per_step = _compiled_flops(step, state, images, random.key(0))
+        _note(f"cost analysis done: flops_per_step={flops_per_step}")
 
     # Warmup/compile.
     for i in range(3):
         state, loss = step(state, images, random.key(i))
     float(loss)  # forced fetch — drains the dispatch queue before timing
+    _note("train step compiled + warm")
 
     n_steps = 30 if on_tpu else 3
     t0 = time.perf_counter()
@@ -172,11 +193,14 @@ def main() -> None:
                 float(np.uint64(np.asarray(final).sum()))
             return round((time.perf_counter() - t0) / iters, 3)
 
+        _note("timing train loop done; compiling samplers")
         sample_wall = timed(lambda k: diffusion.sample(
             model_s.apply, n=16, image_channels=3, key=k, params=sparams)[0])
+        _note(f"ancestral sampler timed: {sample_wall}s")
         ddim_wall = timed(lambda k: diffusion.sample_ddim(
             model_s.apply, n=16, image_channels=3, key=k, steps=50,
             params=sparams))
+        _note(f"ddim sampler timed: {ddim_wall}s")
 
     out = {
         "metric": "train_imgs_per_sec_chip",

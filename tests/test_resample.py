@@ -280,6 +280,30 @@ class TestGeluFastPath:
             atol=2 ** -7 + 1e-6,
         )
 
+    def test_poly13_variant_under_bars(self, monkeypatch):
+        """The AFDM_GELU=poly13 fit must meet the same error budget the
+        default fit is held to (value under bf16 rounding; derivative under
+        the gradient test's tolerance)."""
+        from aliasfree_diffusion_models_pytorch_tpu.ops.resample import gelu_exact
+
+        monkeypatch.setenv("AFDM_GELU", "poly13")
+        x = jnp.asarray(np.linspace(-12, 12, 40001), jnp.bfloat16)
+        fast = np.asarray(gelu_exact(x), np.float32)
+        exact = np.asarray(
+            jax.nn.gelu(x.astype(jnp.float32), approximate=False), np.float32
+        )
+        assert np.abs(fast - exact).max() <= 2 ** -7 + 1.5e-3
+        xg = jnp.asarray(np.linspace(-8, 8, 20001), jnp.bfloat16)
+        g_fast = jax.grad(lambda v: jnp.sum(gelu_exact(v).astype(jnp.float32)))(xg)
+        g_ref = jax.grad(
+            lambda v: jnp.sum(jax.nn.gelu(v.astype(jnp.float32), approximate=False))
+        )(xg)
+        np.testing.assert_allclose(
+            np.asarray(g_fast, np.float32),
+            np.asarray(g_ref, np.float32),
+            atol=2 ** -7 + 1e-6,
+        )
+
     def test_env_exact_override(self, monkeypatch):
         from aliasfree_diffusion_models_pytorch_tpu.ops import resample
 
