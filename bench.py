@@ -86,6 +86,19 @@ def main() -> None:
     import numpy as np
     from jax import random
 
+    # The axon sitecustomize pre-imports jax at interpreter start, which
+    # latches env-var config defaults before the setdefaults above run —
+    # apply the cache settings through jax.config so they actually take
+    # (measured: with env vars alone the cache dir is never created).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization only
+
     from aliasfree_diffusion_models_pytorch_tpu.config import (
         FilterSettings,
         TrainConfig,

@@ -73,6 +73,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# The same sitecustomize pre-imports jax at interpreter start, which latches
+# all JAX_* env-var config defaults BEFORE this file runs — the env vars set
+# above are dead here (measured: jax.config.jax_compilation_cache_dir stays
+# None and no cache dir ever appeared; full suite 40 min, every run cold).
+# jax.config.update works after import; apply the cache settings through it.
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def pytest_collection_modifyitems(config, items):
