@@ -352,9 +352,12 @@ class SelfAttention(nn.Module):
         # (fwd+bwd 1.7 vs 4.6 ms at batch 256); XLA ties at S=64 and keeps
         # the sub-256 shapes.
         min_seq = int(os.environ.get("AFDM_FLASH_MIN_SEQ", "256"))
+        # Upper cap: above S=4096 (image size > 64) the kernels' per-block
+        # VMEM budgets (q-strip backward, q-blocked forward) run out of
+        # room to shrink — hand those shapes to XLA.
         return (
             self.precision is None
-            and seq_len >= min_seq
+            and min_seq <= seq_len <= 4096
             and (seq_len <= 512 or seq_len % 512 == 0)
             and jax.default_backend() == "tpu"
         )

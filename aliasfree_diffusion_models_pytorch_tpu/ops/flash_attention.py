@@ -59,6 +59,7 @@ _DOT_QK = (((2,), (2,)), ((0,), (0,)))   # contract D (lane·lane); batch G
 _DOT_QKT = (((2,), (1,)), ((0,), (0,)))  # contract D vs pre-transposed (G,D,S)
 _DOT_PV = (((2,), (1,)), ((0,), (0,)))   # contract S (k ax);      batch G
 _DOT_T = (((1,), (1,)), ((0,), (0,)))    # contract q axis;        batch G
+_DOT_2D = (((1,), (0,)), ((), ()))       # plain 2-D row x col contraction
 
 
 def attention_reference(q, k, v, scale=None, precision=None):
@@ -85,8 +86,14 @@ def _pick_group(s: int, bh: int) -> int:
 def _pick_q_block(s: int) -> int:
     # Full-S q blocks up to 1024 (the f32 logits block is 4 MB and the
     # shrunk live set leaves room — measured: halving the program count at
-    # S=1024 is worth ~6% fwd); longer sequences split the q axis.
-    return s if s <= 1024 else 512
+    # S=1024 is worth ~6% fwd); longer sequences split the q axis, shrinking
+    # the block so the (S, qblk) f32 logits stay within ~8 MB of VMEM.
+    if s <= 1024:
+        return s
+    blk = min(512, max(128, (8 * 2**20 // (4 * s)) // 128 * 128))
+    while s % blk:
+        blk -= 128
+    return blk
 
 
 def _stats_on() -> bool:
@@ -228,6 +235,142 @@ def _bwd_kernel(scale: float, dqt: bool, stats: bool, q_ref, qt_ref, k_ref,
     dvt_ref[...] = dvt.astype(dvt_ref.dtype)
 
 
+def _pick_q_strip(s: int) -> int:
+    """Query-strip rows for the long-S backward: keep the ~14·B·S-byte f32
+    strip live set (logits/dp/ds f32 + bf16 copies + the dSᵀ transpose)
+    inside an 8 MB slice of the 16 MB scoped-VMEM budget, leaving room for
+    operand/output pipelining. Multiples of 128 so the lane-dim slices of
+    the pre-transposed operands stay tile-aligned."""
+    b = max(128, (8 * 2**20 // (14 * s)) // 128 * 128)
+    while s % b:
+        b -= 128
+    return b
+
+
+def _bwd_kernel_strips(scale: float, stats: bool, q_ref, qt_ref, kt_ref,
+                       vt_ref, g_ref, gt_ref, o_ref, m_ref, s_ref,
+                       dqt_ref, dkt_ref, dvt_ref):
+    """Flash backward for S > 1024: q-STRIP-blocked, dK/dV accumulated.
+
+    The monolithic backward keeps the whole (S, S) f32 block resident —
+    45.8 MB of scoped VMEM at S=4096 (image-size-64 training), a hard
+    Mosaic OOM. This variant processes one (B, S) query strip per grid
+    step: dQᵀ is written per strip, dKᵀ/dVᵀ accumulate in f32 across the
+    sequential strip axis (their (D, S) accumulators are ~128 KB — the
+    output blocks stay VMEM-resident because their index is constant in
+    the strip dimension). Same math and matmul orientations as
+    ``_bwd_kernel`` in dqt mode; per-strip softmax is exact because every
+    strip sees the full key axis."""
+    r = pl.program_id(1)
+    q = q_ref[0]      # (B, D)
+    qt = qt_ref[0]    # (D, B)
+    kt = kt_ref[0]    # (D, S)
+    vt = vt_ref[0]    # (D, S)
+    g = g_ref[0]      # (B, D)
+    gt = gt_ref[0]    # (D, B)
+    dt = q.dtype
+
+    logits = jax.lax.dot_general(
+        q, kt, _DOT_2D, preferred_element_type=jnp.float32
+    ) * scale                                       # (B, S) f32
+    if stats:
+        mi = jnp.swapaxes(m_ref[0], 0, 1)           # (B, 1)
+        inv_s = 1.0 / jnp.swapaxes(s_ref[0], 0, 1)  # (B, 1)
+        p_c = jnp.exp(logits - mi).astype(dt)       # unnormalized
+        gt_scaled = gt * jnp.swapaxes(inv_s, 0, 1)  # (D, B) · (1, B)
+    else:
+        mi = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mi)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p_c = p.astype(dt)
+        inv_s = None
+        gt_scaled = gt
+    dvt = jax.lax.dot_general(                      # (D, S)
+        gt_scaled, p_c, _DOT_2D, preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(                       # (B, S)
+        g, vt, _DOT_2D, preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )
+    if stats:
+        ds = p_c * ((dp - delta) * inv_s)
+    else:
+        ds = p_c * (dp - delta)
+    ds_c = ds.astype(dt)
+    dst = jnp.swapaxes(ds_c, 0, 1)                  # (S, B) in-VMEM
+    dqt = jax.lax.dot_general(                      # (D, B) = dQᵀ strip
+        kt, dst, _DOT_2D, preferred_element_type=jnp.float32
+    ) * scale
+    dkt = jax.lax.dot_general(                      # (D, S)
+        qt, ds_c, _DOT_2D, preferred_element_type=jnp.float32
+    ) * scale
+
+    dqt_ref[0] = dqt.astype(dqt_ref.dtype)
+
+    @pl.when(r == 0)
+    def _init():
+        dkt_ref[0] = jnp.zeros_like(dkt_ref[0])
+        dvt_ref[0] = jnp.zeros_like(dvt_ref[0])
+
+    dkt_ref[0] += dkt
+    dvt_ref[0] += dvt
+
+
+def _flash_bwd_strips(q, k, v, out, m, ssum, g_out, scale, interpret):
+    """Wrapper for the long-S (S > 1024) strip-blocked backward."""
+    b, h, s, d = q.shape
+    bh = b * h
+    q3, g3, o3 = (a.reshape(bh, s, d) for a in (q, g_out, out))
+    qt = jnp.swapaxes(q3, 1, 2)
+    kt = jnp.swapaxes(k.reshape(bh, s, d), 1, 2)
+    vt = jnp.swapaxes(v.reshape(bh, s, d), 1, 2)
+    gt = jnp.swapaxes(g3, 1, 2)
+    blk = _pick_q_strip(s)
+    grid = (bh, s // blk)
+    sspec = pl.BlockSpec((1, blk, d), lambda i, r: (i, r, 0),
+                         memory_space=pltpu.VMEM)
+    tstrip = pl.BlockSpec((1, d, blk), lambda i, r: (i, 0, r),
+                          memory_space=pltpu.VMEM)
+    tfull = pl.BlockSpec((1, d, s), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    stats = m is not None
+    inputs = [q3, qt, kt, vt, g3, gt, o3]
+    in_specs = [sspec, tstrip, tfull, tfull, sspec, tstrip, sspec]
+    if stats:
+        stspec = pl.BlockSpec((1, 1, blk), lambda i, r: (i, 0, r),
+                              memory_space=pltpu.VMEM)
+        inputs += [m, ssum]
+        in_specs += [stspec, stspec]
+        kern = functools.partial(_bwd_kernel_strips, float(scale), True)
+    else:
+        def kern(*refs):
+            (q_r, qt_r, kt_r, vt_r, g_r, gt_r, o_r, dq_r, dk_r, dv_r) = refs
+            _bwd_kernel_strips(float(scale), False, q_r, qt_r, kt_r, vt_r,
+                               g_r, gt_r, o_r, None, None, dq_r, dk_r, dv_r)
+    # dKᵀ/dVᵀ accumulate across strips — f32 outputs so the partial sums
+    # don't round in bf16; cast after the kernel.
+    dqt, dkt, dvt = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, d, s), q.dtype),
+            jax.ShapeDtypeStruct((bh, d, s), jnp.float32),
+            jax.ShapeDtypeStruct((bh, d, s), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(tstrip, tfull, tfull),
+        interpret=interpret,
+    )(*inputs)
+    shape4 = (b, h, s, d)
+    dq = jnp.swapaxes(dqt, 1, 2).reshape(shape4)
+    dk = jnp.swapaxes(dkt.astype(q.dtype), 1, 2).reshape(shape4)
+    dv = jnp.swapaxes(dvt.astype(q.dtype), 1, 2).reshape(shape4)
+    return dq, dk, dv
+
+
 def _flash_fwd(q, k, v, scale, interpret, with_stats=False):
     """Forward kernel wrapper. ``with_stats=True`` (the vjp path with
     softmax-stat reuse on) additionally returns the per-query softmax
@@ -279,6 +422,11 @@ def _flash_fwd(q, k, v, scale, interpret, with_stats=False):
 
 def _flash_bwd(q, k, v, out, m, ssum, g_out, scale, interpret):
     b, h, s, d = q.shape
+    if s > 1024:
+        # The monolithic backward's full (S, S) f32 live set exceeds scoped
+        # VMEM above S=1024 (hard Mosaic OOM at S=4096 / image-size 64).
+        return _flash_bwd_strips(q, k, v, out, m, ssum, g_out, scale,
+                                 interpret)
     bh = b * h
     q3, k3, v3, g3, o3 = (a.reshape(bh, s, d) for a in (q, k, v, g_out, out))
     qt = jnp.swapaxes(q3, 1, 2)  # (bh, D, S) operands for the MXU-native

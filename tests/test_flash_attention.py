@@ -83,6 +83,32 @@ def test_backward_qblocked_shape():
     )
 
 
+@pytest.mark.parametrize("stats_env", ["1", "0"])
+def test_backward_long_seq_strips(monkeypatch, stats_env):
+    """S=2048 engages the q-strip-blocked backward (the monolithic kernel's
+    full (S, S) f32 live set VMEM-OOMs above S=1024 — image-size-64 training
+    hit this at S=4096). Covers both the stats-reuse and the local-softmax
+    strip branches."""
+    monkeypatch.setenv("AFDM_FLASH_STATS", stats_env)
+    q, k, v = _qkv(1, 2, 2048, 8, seed=13)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, None, INTERPRET) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            attention_reference(q, k, v, precision=jax.lax.Precision.HIGHEST) ** 2
+        )
+
+    out = flash_mha(q, k, v, None, INTERPRET)
+    ref = attention_reference(q, k, v, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
 def test_custom_scale():
     q, k, v = _qkv(1, 2, 256, 16, seed=7)
     out = flash_mha(q, k, v, 0.25, INTERPRET)
