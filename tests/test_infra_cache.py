@@ -29,16 +29,22 @@ def test_cache_writes_an_entry():
     import jax.numpy as jnp
     import numpy as np
 
+    import uuid
+
     cache_dir = jax.config.jax_compilation_cache_dir
     before = set(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else set()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
         x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 64)),
                         jnp.float32)
+        # A per-run-unique constant gives a fresh cache key every time —
+        # otherwise a second suite run finds the entry already on disk
+        # (a HIT writes nothing) and the assertion below is vacuous-false.
+        salt = (uuid.uuid4().int % 1000) / 1000.0 + 0.5
 
         @jax.jit
         def f(a):
-            return jnp.tanh(a @ a + a) * 0.988  # unique constant → fresh key
+            return jnp.tanh(a @ a + a) * salt
 
         f(x).block_until_ready()
     finally:
