@@ -422,9 +422,12 @@ def _flash_fwd(q, k, v, scale, interpret, with_stats=False):
 
 def _flash_bwd(q, k, v, out, m, ssum, g_out, scale, interpret):
     b, h, s, d = q.shape
-    if s > 1024:
-        # The monolithic backward's full (S, S) f32 live set exceeds scoped
-        # VMEM above S=1024 (hard Mosaic OOM at S=4096 / image-size 64).
+    # The monolithic backward's full (S, S) f32 live set exceeds scoped
+    # VMEM above S=1024 (hard Mosaic OOM at S=4096 / image-size 64). At
+    # S=1024 itself both kernels fit; measured (idle v5e, sa6 shape): the
+    # monolithic kernel keeps the edge, so strips engage strictly above.
+    strip_min = int(os.environ.get("AFDM_FLASH_STRIP_MIN", "1025"))
+    if s >= strip_min:
         return _flash_bwd_strips(q, k, v, out, m, ssum, g_out, scale,
                                  interpret)
     bh = b * h
