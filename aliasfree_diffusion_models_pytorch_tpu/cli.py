@@ -29,6 +29,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", default="MNIST", help="MNIST | CIFAR10 | MNISTM | ...")
     p.add_argument("--dataset-path", default=None)
     p.add_argument("--image-size", type=int, default=32)
+    p.add_argument("--base-width", type=int, default=None,
+                   help="base channel width override (default: image-size, "
+                        "the reference quirk); multiple of 4")
     p.add_argument("--image-channels", type=int, default=1)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
@@ -79,6 +82,7 @@ def _config_from_args(args) -> "TrainConfig":
         epochs=args.epochs,
         batch_size=args.batch_size,
         image_size=args.image_size,
+        base_width=getattr(args, "base_width", None),
         image_channels=args.image_channels,
         dataset_path=args.dataset_path,
         lr=args.lr,

@@ -114,6 +114,11 @@ class TrainConfig:
     # of hand-fused Pallas kernels (post-mortem in ops/resample.py docs).
     checkpoint_opt_state: bool = False  # reference saves weights only
     time_dim: int = 256
+    # Capacity knob: the reference ties the UNet's base channel width to
+    # image_size (modules/ddpm_models.py:41-251); base_width=None keeps that
+    # quirk, an int overrides the widths without changing the resolution
+    # (multiple of 4 — the 4-head attention splits channels evenly).
+    base_width: int | None = None
     # Class-conditional mode: the reference defines the conditional UNet
     # (modules/ddpm_models.py:253-258) but its pipeline never trains it;
     # here it is a first-class option (labels flow from the dataloader).
@@ -132,6 +137,13 @@ class TrainConfig:
         if self.image_size % 8 != 0:
             raise ValueError(
                 f"image_size must be divisible by 8 (3 down stages), got {self.image_size}"
+            )
+        if self.base_width is not None and (
+            self.base_width < 4 or self.base_width % 4 != 0
+        ):
+            raise ValueError(
+                f"base_width must be a positive multiple of 4 (4-head "
+                f"attention), got {self.base_width}"
             )
         if self.batch_size < 1 or self.epochs < 0:
             raise ValueError("batch_size must be >= 1 and epochs >= 0")

@@ -126,11 +126,21 @@ class UNet(nn.Module):
     ``image_size`` (also the base channel width), ``time_dim``, optional
     ``filters`` (required for variants 1-4), optional ``num_classes`` for the
     conditional mode, and ``variant``.
+
+    Beyond parity: ``base_width`` decouples model capacity from resolution.
+    The reference ties the base channel width to ``image_size``
+    (``modules/ddpm_models.py:41-251`` uses ``image_size`` for both), so its
+    only way to widen the model is to grow the images. ``base_width=None``
+    (default) preserves that quirk exactly; setting it overrides the channel
+    widths (stages are ``w, 2w, 4w, 4w / 8w bottleneck``) while spatial
+    resolutions still follow ``image_size``. Must be a multiple of 4 (the
+    4-head attention splits channels evenly).
     """
 
     c_in: int = 3
     c_out: int = 3
     image_size: int = 64
+    base_width: Optional[int] = None
     time_dim: int = 256
     filters: Optional[FilterSettings] = None
     num_classes: Optional[int] = None
@@ -153,7 +163,12 @@ class UNet(nn.Module):
             raise ValueError("f_settings is empty")  # reference error string
         down_rs, up_rs, stage_conv, trunk_conv = VARIANT_SPEC[self.variant]
 
-        s = int(self.image_size)
+        s = int(self.base_width) if self.base_width is not None \
+            else int(self.image_size)
+        if s % 4 != 0:
+            raise ValueError(
+                f"base width {s} must be a multiple of 4 (4-head attention)"
+            )
         kw = dict(
             filters=self.filters,
             dtype=self.dtype,
@@ -264,6 +279,7 @@ def model_summary(model: UNet, params=None) -> str:
         f"UNet variant {model.variant}: {VARIANT_NAMES[model.variant]}",
         f"  in {model.c_in}ch -> out {model.c_out}ch @ {s}x{s}, "
         f"time_dim={model.time_dim}"
+        + (f", base_width={model.base_width}" if model.base_width else "")
         + (f", num_classes={model.num_classes}" if model.num_classes else ""),
         "",
         f"{'module':<10} {'params':>10}  {'out res':>7}  leaf shapes",

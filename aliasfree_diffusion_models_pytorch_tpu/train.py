@@ -85,6 +85,7 @@ def build_model(config: TrainConfig) -> UNet:
         c_in=config.image_channels,
         c_out=config.image_channels,
         image_size=config.image_size,
+        base_width=config.base_width,
         time_dim=config.time_dim,
         filters=config.filters,
         variant=config.variant,

@@ -148,6 +148,8 @@ def test_train_config_validation():
         TrainConfig(variant=7, filters=FilterSettings())
     with pytest.raises(ValueError):
         TrainConfig(image_size=30)
+    with pytest.raises(ValueError, match="base_width"):
+        TrainConfig(base_width=6)
 
 
 def test_cli_parses():

@@ -232,3 +232,47 @@ def test_train_resume_with_npz_backend(tmp_path, monkeypatch):
 
     restored = ckpt_lib.restore_checkpoint(config.checkpoint_path(str(tmp_path)))
     assert int(np.asarray(restored["step"])) == 4
+
+
+def test_base_width_decouples_capacity_from_resolution():
+    """Beyond parity: base_width overrides the reference's width==image_size
+    quirk. Widths (= every param shape) must match a model whose image_size
+    equals that width; spatial resolution must stay at image_size; the
+    default (None) must be the unchanged parity model."""
+    from aliasfree_diffusion_models_pytorch_tpu.models.unet import UNet
+    from aliasfree_diffusion_models_pytorch_tpu.train import build_model
+
+    wide = UNet(c_in=1, c_out=1, image_size=8, base_width=16, variant=0)
+    ref_widths = UNet(c_in=1, c_out=1, image_size=16, variant=0)
+    p_wide = wide.init_params(random.key(0), batch=1)
+    p_ref = ref_widths.init_params(random.key(0), batch=1)
+    assert jax.tree.structure(p_wide) == jax.tree.structure(p_ref)
+    for a, b in zip(jax.tree.leaves(p_wide), jax.tree.leaves(p_ref)):
+        assert a.shape == b.shape
+
+    # Forward still runs at the 8x8 resolution and returns 8x8 output.
+    x = jnp.zeros((2, 8, 8, 1))
+    t = jnp.ones((2,), jnp.int32)
+    out = wide.apply(p_wide, x, t)
+    assert out.shape == (2, 8, 8, 1)
+
+    # Default None == the parity model, exactly (same init, same forward).
+    cfg = tiny_config()
+    assert cfg.base_width is None
+    narrow = build_model(cfg)
+    explicit = UNet(
+        c_in=cfg.image_channels, c_out=cfg.image_channels,
+        image_size=cfg.image_size, variant=cfg.variant,
+        time_dim=cfg.time_dim, time_table_size=1024,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pa = narrow.init_params(random.key(1), batch=1)
+    pb = explicit.init_params(random.key(1), batch=1)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Invalid width rejected.
+    with pytest.raises(ValueError, match="multiple of 4"):
+        UNet(c_in=1, c_out=1, image_size=8, base_width=6).init_params(
+            random.key(0), batch=1
+        )
