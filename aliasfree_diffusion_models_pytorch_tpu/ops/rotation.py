@@ -32,36 +32,83 @@ from jax import lax
 logger = logging.getLogger(__name__)
 
 # Largest image side for the dense (H*W, H*W) operator: 64 → 64 MB fp32.
-# Above this, rotation switches to the order-1 gather formulation
-# (:func:`rotation_gather_plan`) — O(H²) memory instead of O(H⁴).
+# Above this, rotation switches to the gather formulation at the SAME spline
+# order (:func:`rotation_gather_plan`: separable grid-wrap prefilter + an
+# (order+1)²-tap B-spline gather) — O(H²) memory instead of O(H⁴).
 _MAX_DENSE_OPERATOR_SIZE = 64
 
 
 class GatherRotation(NamedTuple):
-    """Order-1 grid-wrap rotation as 4 static gathers + a weighted sum.
+    """Grid-wrap spline rotation as (order+1)² static gathers + weighted sum.
 
-    ``idx``: (4, H·W) int32 flat source indices of the bilinear corners;
-    ``w``:   (4, H·W) float32 bilinear weights. A pytree, so it flows as a
-    traced operand through the jitted sampling scan exactly like the dense
-    operator does — a θ-sweep still reuses one compiled executable.
+    ``idx``: (T, H·W) int32 flat source indices of the spline taps (T = 4 for
+    order 1, 16 for order 3, generally (order+1)²);
+    ``w``:   (T, H·W) float32 B-spline tap weights;
+    ``pre``: optional (H, H) separable spline-prefilter operator (orders ≥ 2;
+    pushed through ``scipy.ndimage.spline_filter1d`` so it is exactly scipy's
+    periodic prefilter), applied to both axes before the gather. A pytree, so
+    it flows as a traced operand through the jitted sampling scan exactly like
+    the dense operator does — a θ-sweep still reuses one compiled executable.
     """
 
     idx: np.ndarray | jax.Array
     w: np.ndarray | jax.Array
+    pre: np.ndarray | jax.Array | None = None
+
+
+@functools.lru_cache(maxsize=8)
+def spline_prefilter_operator(size: int, order: int = 3) -> np.ndarray:
+    """Dense (size, size) grid-wrap spline-prefilter operator.
+
+    B-spline interpolation of order ≥ 2 first converts samples to spline
+    coefficients (``scipy.ndimage.spline_filter``). With periodic boundaries
+    that filter is a *linear* map, so pushing the identity basis through
+    ``spline_filter1d(mode='grid-wrap')`` characterizes it exactly — the same
+    identity-basis technique as :func:`rotation_operator`. The 2D prefilter is
+    separable: ``coeffs = P @ img @ P.T``.
+    """
+    from scipy import ndimage
+
+    return ndimage.spline_filter1d(
+        np.eye(size, dtype=np.float64), order=order, axis=0, mode="grid-wrap"
+    ).astype(np.float32)
+
+
+def _bspline_weights(frac_to_taps: np.ndarray, order: int) -> np.ndarray:
+    """Centered cardinal B-spline of degree ``order`` evaluated elementwise.
+
+    Matches scipy's ``get_spline_interpolation_weights`` (ni_splines.c):
+    order 1 is the linear hat, order 3 the cubic B-spline. Orders 0/2/4/5 go
+    through ``scipy.interpolate.BSpline.basis_element`` on integer knots.
+    """
+    t = np.abs(frac_to_taps)
+    if order == 1:
+        return np.maximum(0.0, 1.0 - t)
+    if order == 3:
+        return np.where(
+            t < 1, 2 / 3 - t * t + t**3 / 2,
+            np.where(t < 2, (2 - t) ** 3 / 6, 0.0),
+        )
+    from scipy.interpolate import BSpline
+
+    half = (order + 1) / 2.0
+    basis = BSpline.basis_element(np.arange(order + 2) - half, extrapolate=False)
+    return np.nan_to_num(basis(frac_to_taps), nan=0.0)
 
 
 @functools.lru_cache(maxsize=32)
-def rotation_gather_plan(size: int, degrees: float) -> GatherRotation:
-    """Bilinear (order-1) grid-wrap rotation plan for any image size.
+def rotation_gather_plan(size: int, degrees: float, order: int = 1) -> GatherRotation:
+    """Grid-wrap spline rotation plan for any image size and spline order.
 
     Reproduces ``scipy.ndimage.rotate(img, degrees, reshape=False,
-    mode='grid-wrap', order=1)`` (``modules/ddpm_models.py:421-429``): the
+    mode='grid-wrap', order=order)`` (``modules/ddpm_models.py:421-429``): the
     output grid is pulled back through the inverse rotation about the image
-    center ``(size-1)/2`` (scipy's convention), source coordinates wrap
-    modulo ``size``, and each output pixel blends its 4 neighbors. Memory
-    scales as H² (vs the dense operator's H⁴), so 128, 256, 512... all work;
-    the price is order-1 interpolation instead of the dense path's exact
-    order-3 spline (parity-tested vs scipy order-1 at 128x128).
+    center ``(size-1)/2`` (scipy's convention), source coordinates wrap modulo
+    ``size``, and each output pixel blends its (order+1)² spline taps; orders
+    ≥ 2 additionally carry the exact separable grid-wrap prefilter
+    (:func:`spline_prefilter_operator`). Memory scales as (order+1)²·H² — vs
+    the dense operator's H⁴ — so 128, 256, 512... all work at order 3
+    (parity-tested vs scipy at 128x128, atol ~1e-5).
     """
     theta = np.deg2rad(degrees)
     c = (size - 1) / 2.0
@@ -75,35 +122,44 @@ def rotation_gather_plan(size: int, degrees: float) -> GatherRotation:
     oy, ox = yy - c, xx - c
     sy = np.cos(theta) * oy + np.sin(theta) * ox + c
     sx = -np.sin(theta) * oy + np.cos(theta) * ox + c
-    y0, x0 = np.floor(sy), np.floor(sx)
-    wy, wx = sy - y0, sx - x0
+    # First tap per scipy ni_splines.c: floor(x) - order//2 (odd orders),
+    # floor(x + 0.5) - order//2 (even orders). order+1 taps per axis.
+    if order % 2:
+        y0 = np.floor(sy).astype(np.int64) - order // 2
+        x0 = np.floor(sx).astype(np.int64) - order // 2
+    else:
+        y0 = np.floor(sy + 0.5).astype(np.int64) - order // 2
+        x0 = np.floor(sx + 0.5).astype(np.int64) - order // 2
 
-    def flat(yi, xi):
-        return ((yi % size) * size + (xi % size)).astype(np.int32).ravel()
-
-    idx = np.stack([
-        flat(y0, x0), flat(y0, x0 + 1), flat(y0 + 1, x0), flat(y0 + 1, x0 + 1)
-    ])
-    w = np.stack([
-        ((1 - wy) * (1 - wx)).ravel(), ((1 - wy) * wx).ravel(),
-        (wy * (1 - wx)).ravel(), (wy * wx).ravel(),
-    ]).astype(np.float32)
-    return GatherRotation(idx=idx, w=w)
+    taps = order + 1
+    idx_rows, w_rows = [], []
+    for ky in range(taps):
+        wy = _bspline_weights(sy - (y0 + ky), order)
+        for kx in range(taps):
+            wx = _bspline_weights(sx - (x0 + kx), order)
+            idx_rows.append(
+                (((y0 + ky) % size) * size + ((x0 + kx) % size))
+                .astype(np.int32).ravel()
+            )
+            w_rows.append((wy * wx).ravel())
+    pre = spline_prefilter_operator(size, order) if order >= 2 else None
+    return GatherRotation(
+        idx=np.stack(idx_rows), w=np.stack(w_rows).astype(np.float32), pre=pre
+    )
 
 
 def build_rotation(size: int, degrees: float, order: int = 3):
-    """Per-step rotation operand for the sampling scan: dense MXU operator
-    (exact scipy parity at the requested spline order) up to 64px, order-1
-    gather plan above (the dense form is O(H⁴) — see rotation_operator)."""
+    """Per-step rotation operand for the sampling scan: dense MXU operator up
+    to 64px, (order+1)²-tap gather plan (+ separable prefilter for order ≥ 2)
+    above — both exact scipy parity at the requested spline order (the dense
+    form is O(H⁴) — see rotation_operator)."""
     if size <= _MAX_DENSE_OPERATOR_SIZE:
         return jnp.asarray(rotation_operator(size, float(degrees), order))
-    if order != 1:
-        logger.info(
-            "rotation at %dx%d uses the order-1 gather path (dense order-%d "
-            "operator would be %.1f GiB)", size, size, order, size**4 * 4 / 2**30,
-        )
-    plan = rotation_gather_plan(size, float(degrees))
-    return GatherRotation(idx=jnp.asarray(plan.idx), w=jnp.asarray(plan.w))
+    plan = rotation_gather_plan(size, float(degrees), order)
+    return GatherRotation(
+        idx=jnp.asarray(plan.idx), w=jnp.asarray(plan.w),
+        pre=None if plan.pre is None else jnp.asarray(plan.pre),
+    )
 
 
 @functools.lru_cache(maxsize=32)
@@ -152,16 +208,21 @@ def apply_pixel_operator(
     operator is a *traced* argument, so a θ-sweep reuses one compiled
     executable and just feeds different matrices. ``m`` is either the dense
     (H·W, H·W) matrix (≤64px, one MXU matmul) or a :class:`GatherRotation`
-    plan (large images, 4 static gathers + weighted sum); the pytree
+    plan (large images: optional separable spline prefilter — two MXU
+    matmuls — then (order+1)² static gathers + weighted sum); the pytree
     structure is static under jit, so the dispatch costs nothing.
     """
     n, h, w, c = x.shape
-    flat = x.reshape(n, h * w, c)
     if isinstance(m, GatherRotation):
-        corners = jnp.take(flat, m.idx, axis=1)  # (n, 4, H·W, c)
+        if m.pre is not None:
+            pre = m.pre.astype(x.dtype)
+            x = jnp.einsum("ph,nhwc->npwc", pre, x, precision=precision)
+            x = jnp.einsum("qw,npwc->npqc", pre, x, precision=precision)
+        flat = x.reshape(n, h * w, c)
+        corners = jnp.take(flat, m.idx, axis=1)  # (n, T, H·W, c)
         out = jnp.sum(corners * m.w.astype(x.dtype)[None, :, :, None], axis=1)
     else:
-        out = jnp.einsum("pq,nqc->npc", m.astype(x.dtype), flat,
+        out = jnp.einsum("pq,nqc->npc", m.astype(x.dtype), x.reshape(n, h * w, c),
                          precision=precision)
     return out.reshape(n, h, w, c)
 
@@ -177,8 +238,9 @@ def rotate_nhwc(
 
     Drop-in equivalent of the reference ``rotate_2d_matrix``
     (``modules/ddpm_models.py:421-429``) without the CPU round-trip. Any
-    image size: ≤64px applies the exact dense spline operator on the MXU,
-    larger images the order-1 gather plan (see :func:`build_rotation`).
+    image size at any spline order: ≤64px applies the exact dense spline
+    operator on the MXU, larger images the same-order gather plan
+    (prefilter + B-spline taps; see :func:`build_rotation`).
     """
     n, h, w, c = x.shape
     if h != w:
