@@ -48,6 +48,28 @@ def _note(msg: str) -> None:
     """Progress marker on stderr (stdout carries only the final JSON line)."""
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
+
+def setup_persistent_cache() -> None:
+    """Enable the persistent compilation cache through jax.config.
+
+    The axon sitecustomize pre-imports jax at interpreter start, which
+    latches env-var config defaults before any setdefaults run — so the
+    cache settings must go through jax.config to actually take (measured:
+    with env vars alone the cache dir is never created). Shared by bench.py
+    and benchmarks/mfu_scaling.py; honors JAX_COMPILATION_CACHE_DIR.
+    """
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization only
+
 # Peak dense bf16 TFLOP/s per chip, by jax Device.device_kind substring
 # (public spec sheets; used only for the advisory MFU figure).
 _PEAK_BF16_TFLOPS = [
@@ -86,18 +108,7 @@ def main() -> None:
     import numpy as np
     from jax import random
 
-    # The axon sitecustomize pre-imports jax at interpreter start, which
-    # latches env-var config defaults before the setdefaults above run —
-    # apply the cache settings through jax.config so they actually take
-    # (measured: with env vars alone the cache dir is never created).
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass  # cache is an optimization only
+    setup_persistent_cache()
 
     from aliasfree_diffusion_models_pytorch_tpu.config import (
         FilterSettings,

@@ -94,16 +94,9 @@ def measure(width: int | None, batch: int, iters: int = 20):
 
 
 def main() -> None:
-    # Same axon-latch workaround as bench.py: the sitecustomize pre-imports
-    # jax, so the persistent cache must be set via jax.config, not env vars.
-    import jax
+    from bench import setup_persistent_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    setup_persistent_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--widths", default="32,64,128,256")
