@@ -204,7 +204,10 @@ class TrainConfig:
         """Human-readable settings dump, one `key: value` per line.
 
         Parity with the ``settings_{ds}_{v}.txt`` snapshot written by
-        ``ddpm_run`` (``modules/ddpm_tasks.py:74-121``).
+        ``ddpm_run`` (``modules/ddpm_tasks.py:74-121``), extended with the
+        effective AFDM_* implementation choices (``impl.*`` lines) so two
+        runs differing only in env knobs produce distinguishable artifacts
+        (the knobs latch at trace time — see ``impl_flags``).
         """
         d = dataclasses.asdict(self)
         f = d.pop("filters", None)
@@ -214,4 +217,7 @@ class TrainConfig:
         else:
             lines += [f"{k}: None" for k in
                       ("kernel_size", "kaiser_beta", "omega_c_down", "omega_c_up")]
+        from aliasfree_diffusion_models_pytorch_tpu.impl_flags import impl_report_text
+
+        lines.append(impl_report_text())
         return "\n".join(lines)

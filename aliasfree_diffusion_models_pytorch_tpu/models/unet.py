@@ -165,9 +165,10 @@ class UNet(nn.Module):
 
         s = int(self.base_width) if self.base_width is not None \
             else int(self.image_size)
-        if s % 4 != 0:
+        if s < 4 or s % 4 != 0:
             raise ValueError(
-                f"base width {s} must be a multiple of 4 (4-head attention)"
+                f"base width {s} must be a positive multiple of 4 "
+                "(4-head attention)"
             )
         kw = dict(
             filters=self.filters,

@@ -57,7 +57,16 @@ logger = logging.getLogger(__name__)
 
 
 def _load_model_params(config: TrainConfig, root: str):
-    """Rebuild the UNet and restore trained params from the run checkpoint."""
+    """Rebuild the UNet and restore trained params from the run checkpoint.
+
+    Shape-determining knobs (``base_width``) are recovered from the
+    ``config.json`` that ``train()`` persists next to the checkpoint — the
+    weights fix the width, so a mismatching CLI value can never restore and
+    the stored one is authoritative (see ``train.recover_base_width``).
+    """
+    from aliasfree_diffusion_models_pytorch_tpu.train import recover_base_width
+
+    config = recover_base_width(config, root)
     model = build_model(config)
     template = {
         "params": model.init_params(random.key(0), batch=1),
@@ -343,8 +352,48 @@ def rotation_video(
     *,
     root: str = ".",
     fps: int = 15,
+    save_sweep: str | None = None,
 ) -> str:
-    """θ-sweep → per-θ final frames → video/GIF (Results.ipynb cells 17-24)."""
-    x_all, _ = rotation_results(config, thetas, root=root, n=1)
+    """θ-sweep → per-θ final frames → video/GIF (Results.ipynb cells 17-24).
+
+    ``save_sweep`` additionally persists the sweep's finals + trajectories
+    for later re-analysis (the Results.ipynb cells 19-24 pickle equivalent).
+    """
+    x_all, traj_all = rotation_results(config, thetas, root=root, n=1)
+    if save_sweep:
+        save_rotation_sweep(save_sweep, thetas, x_all, traj_all)
     frames = np.concatenate(x_all, axis=0)
     return make_video(frames, vname, fps=fps)
+
+
+def save_rotation_sweep(
+    path: str,
+    thetas: Sequence[float],
+    finals: Sequence[np.ndarray],
+    trajectories: Sequence[np.ndarray],
+) -> str:
+    """Persist a Config-E θ-sweep (finals + denoising trajectories per θ).
+
+    The reference keeps these only as in-notebook pickles
+    (``Results.ipynb`` cells 19-24); here they are a first-class compressed
+    ``.npz`` artifact: ``thetas`` (K,), ``finals`` (K, n, H, W, C) uint8,
+    ``trajectories`` (K, T, n, H, W, C) uint8. Load with
+    :func:`load_rotation_sweep`.
+    """
+    if not path.endswith(".npz"):
+        path += ".npz"
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    np.savez_compressed(
+        path,
+        thetas=np.asarray(thetas, np.float64),
+        finals=np.stack([np.asarray(f) for f in finals]),
+        trajectories=np.stack([np.asarray(t) for t in trajectories]),
+    )
+    return path
+
+
+def load_rotation_sweep(path: str) -> dict[str, np.ndarray]:
+    """Load a sweep saved by :func:`save_rotation_sweep`."""
+    with np.load(path) as z:
+        return {k: z[k] for k in ("thetas", "finals", "trajectories")}

@@ -79,6 +79,40 @@ def make_optimizer(lr: float) -> optax.GradientTransformation:
     return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
 
 
+def recover_base_width(config: TrainConfig, root: str = ".") -> TrainConfig:
+    """Adopt the ``base_width`` persisted next to an existing checkpoint.
+
+    ``train()`` writes the full config to ``models/<run>/config.json``; the
+    checkpoint's weights fix the width, so on restore the stored value is
+    authoritative — a user re-passing (or forgetting) ``--base-width`` would
+    otherwise fail only at restore-time shape mismatch with no hint.
+    """
+    import dataclasses
+    import json as _json
+
+    cfg_path = os.path.join(config.model_dir(root), "config.json")
+    if not os.path.exists(cfg_path):
+        return config
+    try:
+        with open(cfg_path) as f:
+            stored = _json.load(f)
+    except (OSError, ValueError):
+        return config
+    if "base_width" not in stored:
+        return config
+    stored_width = stored["base_width"]
+    if stored_width is not None:
+        stored_width = int(stored_width)
+    if stored_width != config.base_width:
+        logger.info(
+            "restoring with base_width=%s from %s (overrides %s — the "
+            "checkpoint's weights fix the width)",
+            stored_width, cfg_path, config.base_width,
+        )
+        config = dataclasses.replace(config, base_width=stored_width)
+    return config
+
+
 def build_model(config: TrainConfig) -> UNet:
     bf16 = config.compute_dtype != "float32"
     return UNet(
@@ -283,6 +317,8 @@ def train(
             )
     data_div = mesh.shape["data"] if mesh is not None else 1
 
+    if resume:
+        config = recover_base_width(config, root)
     rng = random.key(config.seed)
     rng, init_rng = random.split(rng)
     model, state = create_train_state(config, init_rng)
@@ -322,6 +358,11 @@ def train(
     os.makedirs(config.results_dir(root), exist_ok=True)
     os.makedirs(config.model_dir(root), exist_ok=True)
     os.makedirs(config.runs_dir(root), exist_ok=True)
+    # Persist the full config next to the checkpoint: restore-time model
+    # reconstruction (tasks._load_model_params, resume) can recover shape
+    # knobs like base_width instead of relying on the user re-passing them.
+    with open(os.path.join(config.model_dir(root), "config.json"), "w") as f:
+        f.write(config.to_json())
     # Structured metrics stream (SURVEY §5.5): one JSON object per log point.
     metrics_path = os.path.join(config.runs_dir(root), "metrics.jsonl")
 
@@ -337,6 +378,8 @@ def train(
     # appended runs in the same file.
     metrics_f = open(metrics_path, "a")
     try:
+        from aliasfree_diffusion_models_pytorch_tpu.impl_flags import impl_report
+
         metrics_f.write(
             json.dumps(
                 {
@@ -344,6 +387,10 @@ def train(
                     "variant": config.variant,
                     "epochs": config.epochs,
                     "resumed_step": int(state.step),
+                    # Effective AFDM_* kernel/impl choices, latched at trace
+                    # time — without this, runs differing only in env knobs
+                    # are indistinguishable from their artifacts.
+                    "impl": impl_report(),
                 }
             )
             + "\n"

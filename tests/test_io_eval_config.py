@@ -215,3 +215,36 @@ def test_cli_summary_and_model_summary():
     total = param_count(params)
     assert f"{total:,}" in out
     assert f"{total:,}" in model_summary(model, params)
+
+
+def test_settings_text_records_impl_knobs(monkeypatch):
+    """Two runs differing only in AFDM_* env knobs must produce
+    distinguishable settings dumps (VERDICT r3 #4: the knobs latch at trace
+    time, so artifacts are the only reproducibility record)."""
+    monkeypatch.delenv("AFDM_GELU", raising=False)
+    monkeypatch.delenv("AFDM_FLASH_MIN_SEQ", raising=False)
+    c = TrainConfig()
+    base = c.settings_text()
+    assert "impl.gelu: auto(bf16:poly15,f32:exact)" in base
+    assert "impl.resample_impl: conv" in base
+    assert "impl.flash_min_seq: 256" in base
+    assert "impl.native_loader: " in base
+
+    monkeypatch.setenv("AFDM_GELU", "exact")
+    monkeypatch.setenv("AFDM_FLASH_MIN_SEQ", "512")
+    changed = c.settings_text()
+    assert changed != base
+    assert "impl.gelu: exact" in changed
+    assert "impl.flash_min_seq: 512" in changed
+
+
+def test_impl_report_keys_cover_every_knob():
+    """Every AFDM_* knob in the codebase must surface in impl_report (except
+    AFDM_NATIVE_LIB, which is folded into native_loader)."""
+    from aliasfree_diffusion_models_pytorch_tpu.impl_flags import impl_report
+
+    r = impl_report()
+    for key in ("gelu", "resample_impl", "fg_impl_perf", "fg_impl_parity",
+                "flash_attn", "flash_min_seq", "flash_strip_min", "flash_dqt",
+                "flash_stats", "native_loader"):
+        assert key in r

@@ -276,3 +276,51 @@ def test_base_width_decouples_capacity_from_resolution():
         UNet(c_in=1, c_out=1, image_size=8, base_width=6).init_params(
             random.key(0), batch=1
         )
+
+
+def test_base_width_recovered_from_persisted_config(tmp_path):
+    """train() persists the config next to the checkpoint; sampling restore
+    recovers shape knobs (base_width) even when the caller forgets to
+    re-pass them (ADVICE r3: restore previously failed only at shape
+    mismatch with no hint)."""
+    import json
+
+    from aliasfree_diffusion_models_pytorch_tpu.data import (
+        Dataloader,
+        synthetic_dataset,
+    )
+    from aliasfree_diffusion_models_pytorch_tpu.tasks import _load_model_params
+    from aliasfree_diffusion_models_pytorch_tpu.train import recover_base_width
+
+    config = tiny_config(epochs=1, base_width=16)
+    ds = synthetic_dataset(n=8, image_size=8, channels=1, seed=0)
+    train(config, Dataloader(ds, batch_size=4, seed=0), root=str(tmp_path),
+          sample_each_epoch=False)
+
+    cfg_path = os.path.join(config.model_dir(str(tmp_path)), "config.json")
+    assert json.load(open(cfg_path))["base_width"] == 16
+
+    forgot = tiny_config(epochs=1)  # base_width left at default None
+    assert recover_base_width(forgot, str(tmp_path)).base_width == 16
+    model, params = _load_model_params(forgot, str(tmp_path))
+    assert model.base_width == 16
+
+
+def test_metrics_run_header_records_impl(tmp_path):
+    """The metrics.jsonl run header must carry the effective AFDM_* impl
+    choices (VERDICT r3 #4)."""
+    import json
+
+    from aliasfree_diffusion_models_pytorch_tpu.data import (
+        Dataloader,
+        synthetic_dataset,
+    )
+
+    config = tiny_config(epochs=1)
+    ds = synthetic_dataset(n=8, image_size=8, channels=1, seed=0)
+    train(config, Dataloader(ds, batch_size=4, seed=0), root=str(tmp_path),
+          sample_each_epoch=False)
+    metrics = os.path.join(config.runs_dir(str(tmp_path)), "metrics.jsonl")
+    header = json.loads(open(metrics).readline())
+    assert "impl" in header and "gelu" in header["impl"]
+    assert "native_loader" in header["impl"]
