@@ -165,11 +165,11 @@ class Dataloader:
 
     The per-epoch permutation and the per-batch gather run through the native
     C++ loader (``native/csv_loader.cpp``) when its library is available —
-    the host-pipeline fast path — with a NumPy fallback producing an equally
-    deterministic (but differently-ordered) shuffle. The gather is
-    bit-identical across paths; only the shuffle *order* differs between the
-    native splitmix64 Fisher-Yates and NumPy's PCG64, so runs are exactly
-    reproducible per path (a one-time log notes which one is active).
+    the host-pipeline fast path — with a NumPy fallback that reimplements the
+    same splitmix64 Fisher-Yates (:func:`splitmix64_permutation`), so the
+    shuffle order AND the gathered batches are bit-identical across paths:
+    "same seed" reproduces the same run whether or not the .so is built (a
+    one-time log notes which path is active).
     """
 
     def __init__(
@@ -200,7 +200,7 @@ class Dataloader:
             order = native.shuffled_permutation(n, self.seed, self.epoch)
             if order is None:
                 _log_numpy_fallback_once()
-                order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+                order = splitmix64_permutation(n, self.seed, self.epoch)
         else:
             order = np.arange(n)
         self.epoch += 1
@@ -230,8 +230,42 @@ def _log_numpy_fallback_once() -> None:
         _NUMPY_FALLBACK_LOGGED = True
         logging.getLogger(__name__).info(
             "native loader unavailable; using the NumPy shuffle fallback "
-            "(deterministic, but a different order than the native path)"
+            "(splitmix64 Fisher-Yates — same order as the native path)"
         )
+
+
+_SM64_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_SM64_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_MIX2 = np.uint64(0x94D049BB133111EB)
+_SM64_EPOCH_OFF = np.uint64(0xD1B54A32D192ED03)
+
+
+def splitmix64_permutation(n: int, seed: int, epoch: int) -> np.ndarray:
+    """splitmix64 Fisher-Yates permutation — bit-identical to the native path.
+
+    One deterministic shuffle contract regardless of whether the C++ loader
+    is built: this mirrors ``afdm_shuffled_permutation``
+    (``native/csv_loader.cpp``) exactly, so "same seed" reproduces the same
+    data order on every install (the numbered-stream draws are vectorized;
+    only the inherently-sequential swap loop runs in Python).
+    """
+    out = np.arange(n, dtype=np.int64)
+    if n <= 1:
+        return out
+    with np.errstate(over="ignore"):
+        s0 = np.uint64(seed) * _SM64_GOLDEN + np.uint64(epoch) + _SM64_EPOCH_OFF
+        # Draw k for swap index i = n-1-k uses stream state s0 + (k+1)*GOLDEN.
+        z = s0 + np.arange(1, n, dtype=np.uint64) * _SM64_GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * _SM64_MIX1
+        z = (z ^ (z >> np.uint64(27))) * _SM64_MIX2
+        z ^= z >> np.uint64(31)
+    ladder = np.arange(n, 1, -1, dtype=np.uint64)  # i+1 for i = n-1 .. 1
+    js = (z % ladder).astype(np.int64)
+    for k in range(n - 1):
+        i = n - 1 - k
+        j = js[k]
+        out[i], out[j] = out[j], out[i]
+    return out
 
 
 class PrefetchLoader:

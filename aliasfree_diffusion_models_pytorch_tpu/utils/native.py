@@ -2,30 +2,82 @@
 
 Wraps ``native/build/libafdm_native.so`` (see ``native/csv_loader.cpp``):
 fast single-pass CSV parsing, deterministic Fisher-Yates permutations, and
-batch gathering. Everything degrades gracefully to the pure-numpy path when
-the library isn't built — the framework never *requires* the native layer,
-it just gets faster with it (``make -C native``).
+batch gathering. The library is compiled ON FIRST USE when absent (one
+``g++ -O3`` invocation, a few seconds — ``AFDM_NATIVE_BUILD=0`` opts out),
+so a fresh checkout runs the C++ host path without a manual ``make -C
+native``. Everything still degrades gracefully to the pure-numpy path when
+compilation isn't possible (no g++, read-only tree) — the framework never
+*requires* the native layer, and either way the active path is recorded in
+every run artifact (``impl_flags.impl_report``: ``native_loader``).
 """
 
 from __future__ import annotations
 
 import ctypes
 import functools
+import logging
 import os
+import shutil
+import subprocess
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native")
+)
 _LIB_CANDIDATES = (
-    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
-                 "libafdm_native.so"),
+    os.path.join(_NATIVE_DIR, "build", "libafdm_native.so"),
     os.environ.get("AFDM_NATIVE_LIB", ""),
 )
 
 
+def _autobuild() -> str | None:
+    """First-use compile of the native library; None when not possible.
+
+    Writes to a pid-suffixed temp file and ``os.replace``s it into place so
+    concurrent processes racing the build still each load a complete .so.
+    """
+    if os.environ.get("AFDM_NATIVE_BUILD", "1") == "0":
+        return None
+    src = os.path.join(_NATIVE_DIR, "csv_loader.cpp")
+    gxx = shutil.which("g++")
+    if gxx is None or not os.path.exists(src):
+        return None
+    build_dir = os.path.join(_NATIVE_DIR, "build")
+    final = os.path.join(build_dir, "libafdm_native.so")
+    tmp = os.path.join(build_dir, f".libafdm_native.{os.getpid()}.so")
+    try:
+        os.makedirs(build_dir, exist_ok=True)
+        subprocess.run(
+            [gxx, "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+             src, "-o", tmp],
+            check=True, capture_output=True, timeout=300,
+        )
+        os.replace(tmp, final)
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.info("native loader auto-build skipped (%s); numpy path active", e)
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    logger.info("native loader compiled on first use: %s", final)
+    return final
+
+
 @functools.lru_cache(maxsize=1)
 def load_native():
-    """Return the loaded CDLL or None."""
-    for cand in _LIB_CANDIDATES:
+    """Return the loaded CDLL or None (compiling on first use if needed)."""
+    candidates = [c for c in _LIB_CANDIDATES if c and os.path.exists(c)]
+    if not candidates:
+        built = _autobuild()
+        if built:
+            candidates = [built]
+    for cand in candidates:
         if cand and os.path.exists(cand):
             try:
                 lib = ctypes.CDLL(os.path.abspath(cand))

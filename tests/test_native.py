@@ -99,3 +99,50 @@ def test_prefetch_loader_equivalence():
     assert len(a) == len(b) == len(pf)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+@needs_native
+@pytest.mark.parametrize("n,seed,epoch", [
+    (1, 0, 0), (2, 7, 3), (97, 42, 0), (97, 42, 5), (4096, 123, 11),
+])
+def test_numpy_shuffle_matches_native(n, seed, epoch):
+    """One deterministic shuffle contract for both loader paths (VERDICT r3
+    #5): the NumPy splitmix64 Fisher-Yates must produce the exact order of
+    the native afdm_shuffled_permutation, so reproducibility does not depend
+    on whether the .so is built."""
+    from aliasfree_diffusion_models_pytorch_tpu.data import splitmix64_permutation
+
+    native_order = shuffled_permutation(n, seed, epoch)
+    numpy_order = splitmix64_permutation(n, seed, epoch)
+    np.testing.assert_array_equal(numpy_order, native_order)
+
+
+def test_autobuild_compiles_into_fresh_tree(tmp_path, monkeypatch):
+    """First-use auto-build (VERDICT r3 #6): a fresh checkout with no .so
+    compiles the loader on demand; AFDM_NATIVE_BUILD=0 opts out."""
+    import ctypes
+    import os
+    import shutil as _shutil
+
+    from aliasfree_diffusion_models_pytorch_tpu.utils import native as native_mod
+
+    src_dir = os.path.join(os.path.dirname(native_mod.__file__), "..", "..", "native")
+    tree = tmp_path / "native"
+    tree.mkdir()
+    _shutil.copy(os.path.join(src_dir, "csv_loader.cpp"), tree / "csv_loader.cpp")
+    monkeypatch.setattr(native_mod, "_NATIVE_DIR", str(tree))
+
+    monkeypatch.setenv("AFDM_NATIVE_BUILD", "0")
+    assert native_mod._autobuild() is None
+
+    monkeypatch.delenv("AFDM_NATIVE_BUILD")
+    built = native_mod._autobuild()
+    if _shutil.which("g++") is None:
+        assert built is None
+        return
+    assert built and os.path.exists(built)
+    lib = ctypes.CDLL(built)
+    out = np.empty(8, np.int64)
+    lib.afdm_shuffled_permutation(
+        8, 1, 0, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    assert sorted(out) == list(range(8))
