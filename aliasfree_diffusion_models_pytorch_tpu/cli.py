@@ -138,6 +138,11 @@ def main(argv=None) -> int:
     )
     sub.choices["rotate"].add_argument("--out", default="rotation")
     sub.choices["rotate"].add_argument("--fps", type=int, default=15)
+    sub.choices["rotate"].add_argument(
+        "--save-sweep", default=None, metavar="PATH",
+        help="also persist the sweep's finals + trajectories as a .npz "
+             "(Results.ipynb cells 19-24 pickle equivalent)",
+    )
     sub.choices["shift"].add_argument("--shifts", default="-8,0,8")
     sub.choices["sweep"].add_argument(
         "--variants", default="1,2,3",
@@ -291,8 +296,10 @@ def main(argv=None) -> int:
         start, stop, count = (float(v) for v in args.thetas.split(":"))
         path = rotation_video(
             config, np.linspace(start, stop, int(count)), args.out,
-            root=args.root, fps=args.fps,
+            root=args.root, fps=args.fps, save_sweep=args.save_sweep,
         )
+        if args.save_sweep:
+            print(f"wrote sweep {args.save_sweep}")
         print(f"wrote {path}")
         return 0
 

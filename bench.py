@@ -226,6 +226,39 @@ def main() -> None:
             params=sparams))
         _note(f"ddim sampler timed: {ddim_wall}s")
 
+    # 64x64 regime (the CelebA-64 knob of Train.ipynb cell 4): S=4096
+    # attention via the q-strip-blocked flash backward. Single-chip only;
+    # batch 32 (the measured-best small-batch point, RESULTS.md round 3).
+    t64 = {}
+    if on_tpu and mesh is None:
+        import dataclasses as _dc
+
+        config64 = _dc.replace(config, image_size=64, batch_size=32,
+                               run_name="bench64")
+        model64, state64 = create_train_state(config64, random.key(0))
+        diffusion64 = Diffusion(noise_steps=1000, img_size=64)
+        step64 = make_train_step(model64, config64, diffusion64, mesh=None)
+        images64 = jnp.asarray(
+            rng.standard_normal((32, 64, 64, 3)).astype(np.float32))
+        flops64 = _compiled_flops(step64, state64, images64, random.key(0))
+        for i in range(3):
+            state64, loss64 = step64(state64, images64, random.key(i))
+        float(loss64)
+        _note("64x64 train step compiled + warm")
+        t0 = time.perf_counter()
+        for i in range(10):
+            state64, loss64 = step64(state64, images64, random.key(200 + i))
+        float(loss64)  # forced fetch inside the timed region
+        step64_s = (time.perf_counter() - t0) / 10
+        t64 = {
+            "train64_step_ms": round(1000 * step64_s, 2),
+            "train64_imgs_per_sec_b32": round(32 / step64_s, 1),
+            "train64_flops_per_step": flops64,
+            "train64_mfu": round(flops64 / step64_s / peak, 4)
+            if (flops64 and peak) else None,
+        }
+        _note(f"64x64 regime timed: {t64}")
+
     out = {
         "metric": "train_imgs_per_sec_chip",
         "value": round(imgs_per_sec / max(1, n_devices if mesh is not None else 1), 1),
@@ -245,6 +278,7 @@ def main() -> None:
         "mfu": round(mfu, 4) if mfu is not None else None,
         "sample_1000step_n16_wall_s": sample_wall,
         "ddim_50step_n16_wall_s": ddim_wall,
+        **t64,
     }
     print(json.dumps(out))
 
