@@ -161,6 +161,15 @@ def reproduce_grid(
     import jax
     from jax import random
 
+    from aliasfree_diffusion_models_pytorch_tpu.utils.cache import (
+        setup_persistent_cache,
+    )
+
+    # Each config cold-compiles its train step + samplers (the filter taps
+    # are trace-time constants, so configs don't share executables); the
+    # persistent cache makes restarts/reruns of the same recipe start fast.
+    setup_persistent_cache()
+
     from aliasfree_diffusion_models_pytorch_tpu.data import Dataloader, get_data
     from aliasfree_diffusion_models_pytorch_tpu.diffusion import Diffusion
     from aliasfree_diffusion_models_pytorch_tpu.eval import (
@@ -206,6 +215,32 @@ def reproduce_grid(
     d = Diffusion(noise_steps=noise_steps, img_size=image_size)
     published = PUBLISHED.get(dataset.upper(), {})
     rows = []
+
+    def _result(complete: bool) -> dict:
+        return {
+            "dataset": dataset,
+            "real_data": real_data,
+            "feature_space": extractor.name,
+            "comparable_to_published": comparable,
+            "inception_weights": weights_info,
+            "recipe": {
+                "epochs": epochs, "batch_size": batch_size, "seed": seed,
+                "gen_total": gen_total, "noise_steps": noise_steps,
+                "image_size": image_size,
+            },
+            "complete": complete,
+            "configs_done": len(rows),
+            "configs_total": len(configs),
+            "rows": rows,
+        }
+
+    def _dump(result: dict) -> None:
+        if not out_path:
+            return
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+
     for name in configs:
         config = _build_config(
             name, dataset, epochs=epochs, batch_size=batch_size,
@@ -251,24 +286,12 @@ def reproduce_grid(
             row["delta_kid_x100"] = round(row["kid_x100"] - pub[2], 2)
         rows.append(row)
         logger.info("grid config %s: %s", name, json.dumps(row))
+        # Incremental persistence: a multi-hour 13-config run that dies at
+        # config 11 keeps its 10 finished rows (complete=False marks it).
+        _dump(_result(complete=False))
 
-    result = {
-        "dataset": dataset,
-        "real_data": real_data,
-        "feature_space": extractor.name,
-        "comparable_to_published": comparable,
-        "inception_weights": weights_info,
-        "recipe": {
-            "epochs": epochs, "batch_size": batch_size, "seed": seed,
-            "gen_total": gen_total, "noise_steps": noise_steps,
-            "image_size": image_size,
-        },
-        "rows": rows,
-    }
-    if out_path:
-        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=2)
+    result = _result(complete=True)
+    _dump(result)
     return result
 
 

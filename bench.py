@@ -50,25 +50,13 @@ def _note(msg: str) -> None:
 
 
 def setup_persistent_cache() -> None:
-    """Enable the persistent compilation cache through jax.config.
+    """Shared persistent-compile-cache setup (see utils/cache.py); kept here
+    as the import point for bench.py and benchmarks/mfu_scaling.py."""
+    from aliasfree_diffusion_models_pytorch_tpu.utils.cache import (
+        setup_persistent_cache as _setup,
+    )
 
-    The axon sitecustomize pre-imports jax at interpreter start, which
-    latches env-var config defaults before any setdefaults run — so the
-    cache settings must go through jax.config to actually take (measured:
-    with env vars alone the cache dir is never created). Shared by bench.py
-    and benchmarks/mfu_scaling.py; honors JAX_COMPILATION_CACHE_DIR.
-    """
-    import jax
-
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass  # cache is an optimization only
+    _setup()
 
 # Peak dense bf16 TFLOP/s per chip, by jax Device.device_kind substring
 # (public spec sheets; used only for the advisory MFU figure).
