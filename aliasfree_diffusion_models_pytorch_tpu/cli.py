@@ -167,6 +167,9 @@ def main(argv=None) -> int:
     rg.add_argument("--noise-steps", type=int, default=1000)
     rg.add_argument("--root", default=".")
     rg.add_argument("--out", default="sample_results/reproduced_grid.json")
+    rg.add_argument("--resume", action="store_true",
+                    help="reload finished rows from --out and skip those "
+                         "configs (recipe must match the prior artifact)")
     sub.choices["eval"].add_argument("generated_dir")
     sub.choices["eval"].add_argument("reference_dir")
     sub.choices["eval"].add_argument("--limit", type=int, default=None)
@@ -210,6 +213,7 @@ def main(argv=None) -> int:
             gen_total=args.gen_total, gen_per_batch=args.gen_per_batch,
             image_size=args.image_size, image_channels=args.image_channels,
             noise_steps=args.noise_steps, root=args.root, out_path=args.out,
+            resume=args.resume,
         )
         print(format_grid_markdown(result))
         print(f"wrote {args.out}")

@@ -149,6 +149,7 @@ def reproduce_grid(
     noise_steps: int = 1000,
     root: str = ".",
     out_path: str | None = None,
+    resume: bool = False,
 ) -> dict:
     """Run the published-grid recipe for ``configs`` and emit the table.
 
@@ -157,6 +158,12 @@ def reproduce_grid(
     per-config deltas. Without them, the synthetic fallback + RandomFeatures
     space still exercises the identical pipeline but is labeled
     ``comparable_to_published: False``.
+
+    ``resume=True`` reloads a prior (possibly ``complete: False``) artifact
+    from ``out_path`` and skips every config that already has a row, so a
+    multi-hour run killed at config 11 of 13 restarts with 11 rows free.
+    The prior artifact's recipe must match exactly — mixing rows produced
+    under different recipes would be silent nonsense, so it raises instead.
     """
     import jax
     from jax import random
@@ -216,6 +223,30 @@ def reproduce_grid(
     published = PUBLISHED.get(dataset.upper(), {})
     rows = []
 
+    prior_rows: dict[str, dict] = {}
+    if resume and out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        current_recipe = {
+            "epochs": epochs, "batch_size": batch_size, "seed": seed,
+            "gen_total": gen_total, "noise_steps": noise_steps,
+            "image_size": image_size,
+        }
+        mismatched = {
+            k for k in ("dataset", "real_data", "feature_space")
+            if prior.get(k) != {"dataset": dataset, "real_data": real_data,
+                                "feature_space": extractor.name}[k]
+        }
+        if prior.get("recipe") != current_recipe or mismatched:
+            raise ValueError(
+                f"--resume artifact {out_path} was produced under a different "
+                f"recipe/setup (recipe {prior.get('recipe')} vs "
+                f"{current_recipe}, mismatched keys {sorted(mismatched)}); "
+                "refusing to mix rows")
+        prior_rows = {r["config"]: r for r in prior.get("rows", [])}
+        logger.info("resume: %d finished rows reloaded from %s",
+                    len(prior_rows), out_path)
+
     def _result(complete: bool) -> dict:
         return {
             "dataset": dataset,
@@ -242,6 +273,10 @@ def reproduce_grid(
             json.dump(result, f, indent=2)
 
     for name in configs:
+        if name in prior_rows:
+            rows.append(prior_rows[name])
+            logger.info("grid config %s: resumed from prior artifact", name)
+            continue
         config = _build_config(
             name, dataset, epochs=epochs, batch_size=batch_size,
             image_size=image_size, image_channels=image_channels, seed=seed,

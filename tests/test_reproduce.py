@@ -69,3 +69,35 @@ def test_reproduce_grid_synthetic_end_to_end(tmp_path):
 def test_reproduce_grid_rejects_unknown_config():
     with pytest.raises(ValueError, match="unknown grid config"):
         reproduce_grid("MNIST", None, configs=["Z-9"], epochs=1)
+
+
+def test_reproduce_grid_resume_skips_finished_configs(tmp_path):
+    """--resume reloads prior rows and runs only the missing configs: the
+    first run's training root is deleted before the resume, so config A can
+    only appear in the output via the reloaded artifact."""
+    out = str(tmp_path / "grid.json")
+    recipe = dict(
+        epochs=1, batch_size=8, seed=0, gen_total=12, gen_per_batch=8,
+        image_size=8, image_channels=1, noise_steps=20, out_path=out,
+    )
+    first = reproduce_grid(
+        "MNIST", None, configs=["A"], root=str(tmp_path / "r1"), **recipe,
+    )
+    import shutil
+
+    shutil.rmtree(tmp_path / "r1")  # a re-train of A would have no data to load
+
+    resumed = reproduce_grid(
+        "MNIST", None, configs=["A", "D-2N"], root=str(tmp_path / "r2"),
+        resume=True, **recipe,
+    )
+    assert resumed["complete"] is True
+    assert [r["config"] for r in resumed["rows"]] == ["A", "D-2N"]
+    assert resumed["rows"][0] == first["rows"][0]  # reloaded, not re-run
+
+    # A mismatched recipe must refuse to mix rows.
+    with pytest.raises(ValueError, match="different recipe"):
+        reproduce_grid(
+            "MNIST", None, configs=["A"], root=str(tmp_path / "r3"),
+            resume=True, **{**recipe, "noise_steps": 10},
+        )
