@@ -170,6 +170,12 @@ def main(argv=None) -> int:
     rg.add_argument("--resume", action="store_true",
                     help="reload finished rows from --out and skip those "
                          "configs (recipe must match the prior artifact)")
+    rg.add_argument("--reuse-checkpoints", action="store_true",
+                    help="skip training for configs whose checkpoint exists "
+                         "under --root (regenerate + re-evaluate only)")
+    rg.add_argument("--reuse-generated", action="store_true",
+                    help="reuse persisted gen_{dataset}_{config}.npz image "
+                         "sets instead of re-sampling (metric recompute)")
     sub.choices["eval"].add_argument("generated_dir")
     sub.choices["eval"].add_argument("reference_dir")
     sub.choices["eval"].add_argument("--limit", type=int, default=None)
@@ -213,7 +219,8 @@ def main(argv=None) -> int:
             gen_total=args.gen_total, gen_per_batch=args.gen_per_batch,
             image_size=args.image_size, image_channels=args.image_channels,
             noise_steps=args.noise_steps, root=args.root, out_path=args.out,
-            resume=args.resume,
+            resume=args.resume, reuse_checkpoints=args.reuse_checkpoints,
+            reuse_generated=args.reuse_generated,
         )
         print(format_grid_markdown(result))
         print(f"wrote {args.out}")

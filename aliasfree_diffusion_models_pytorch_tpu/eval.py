@@ -155,14 +155,27 @@ class RandomFeatures:
 
     3x [conv3x3-stride2 + gelu] → global mean/std pool → D features; a random
     readout head provides "class" probabilities for an IS-like diversity
-    score. Relative comparisons only; ``feature_space='random-conv'`` is
+    score. Relative comparisons only; ``feature_space='random-conv-v2'`` is
     stamped on every result.
+
+    v2: the readout standardizes features per image and applies a
+    temperature before softmax. v1's raw pooled features produced
+    near-zero cross-class logit spread, so p(y|x) was ~uniform and IS sat
+    pinned at 1.0 for every image set (round-4 verdict weak #2) — one of the
+    three grid metrics carried no signal. FID/KID use ``features`` and are
+    unchanged (v1-comparable); only the IS channel changed, hence the name
+    bump so resume guards refuse to mix artifacts across versions.
     """
 
     dim: int = 256
     num_classes: int = 128
     seed: int = 0
-    name: str = "random-conv"
+    # Readout sharpness: standardized feats @ wr gives ~N(0,1) logits; tau=5
+    # yields peaked-but-unsaturated p(y|x) over 128 classes (measured: IS
+    # = 1.0 for a collapsed set, 2.2 for iid noise images, higher for
+    # structurally diverse sets; mean max-prob ≈ 0.6).
+    temperature: float = 5.0
+    name: str = "random-conv-v2"
     # Images per jitted call: bounds device memory at large sets/resolutions
     # (an unbatched call jitted the ENTIRE image set at once — an OOM
     # foot-gun flagged in VERDICT r2 weak #8). Mirrors InceptionV3Flax._run.
@@ -191,7 +204,12 @@ class RandomFeatures:
         mean = h.mean(axis=(1, 2))
         std = h.std(axis=(1, 2))
         feats = jnp.concatenate([mean, std], axis=-1)
-        probs = jax.nn.softmax(feats @ wr, axis=-1)
+        # Per-image standardization is deterministic and set-independent, so
+        # p(y|x) stays a pure function of the image (required for IS).
+        f = (feats - feats.mean(-1, keepdims=True)) / (
+            feats.std(-1, keepdims=True) + 1e-8
+        )
+        probs = jax.nn.softmax(self.temperature * (f @ wr), axis=-1)
         return feats, probs
 
     def _run(self, images_u8: np.ndarray):

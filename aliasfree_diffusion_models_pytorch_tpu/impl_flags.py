@@ -45,7 +45,7 @@ def impl_report() -> dict:
         _auto_impl,
         _fg_auto_impl,
     )
-    from aliasfree_diffusion_models_pytorch_tpu.utils.native import load_native
+    from aliasfree_diffusion_models_pytorch_tpu.utils.native import native_status
 
     return {
         "gelu": os.environ.get("AFDM_GELU") or "auto(bf16:poly15,f32:exact)",
@@ -57,7 +57,8 @@ def impl_report() -> dict:
         "flash_strip_min": int(os.environ.get("AFDM_FLASH_STRIP_MIN", "1025")),
         "flash_dqt": os.environ.get("AFDM_FLASH_DQT") or "auto(s>=512)",
         "flash_stats": _stats_on(),
-        "native_loader": load_native() is not None,
+        # Probe-only: rendering a settings dump must not spawn a g++ build.
+        "native_loader": native_status(),
     }
 
 

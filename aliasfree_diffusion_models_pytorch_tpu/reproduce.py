@@ -150,6 +150,8 @@ def reproduce_grid(
     root: str = ".",
     out_path: str | None = None,
     resume: bool = False,
+    reuse_checkpoints: bool = False,
+    reuse_generated: bool = False,
 ) -> dict:
     """Run the published-grid recipe for ``configs`` and emit the table.
 
@@ -164,6 +166,16 @@ def reproduce_grid(
     multi-hour run killed at config 11 of 13 restarts with 11 rows free.
     The prior artifact's recipe must match exactly — mixing rows produced
     under different recipes would be silent nonsense, so it raises instead.
+    Prior rows for configs NOT in this invocation's ``configs`` list are
+    carried into the output untouched (a narrower re-run must not drop
+    hours of finished compute from the artifact — ADVICE r4).
+
+    Each config's 2000 generated images are persisted as
+    ``gen_{dataset}_{config}.npz`` next to ``out_path`` so metrics can be
+    recomputed (e.g. after a metric fix) without retraining.
+    ``reuse_checkpoints=True`` skips training when a checkpoint already
+    exists under ``root``; ``reuse_generated=True`` additionally reuses a
+    persisted image set instead of re-sampling.
     """
     import jax
     from jax import random
@@ -221,7 +233,6 @@ def reproduce_grid(
 
     d = Diffusion(noise_steps=noise_steps, img_size=image_size)
     published = PUBLISHED.get(dataset.upper(), {})
-    rows = []
 
     prior_rows: dict[str, dict] = {}
     if resume and out_path and os.path.exists(out_path):
@@ -232,11 +243,18 @@ def reproduce_grid(
             "gen_total": gen_total, "noise_steps": noise_steps,
             "image_size": image_size,
         }
+        # inception_weights identity matters too: two runs both labeled
+        # feature_space 'inception' but using different weight files would
+        # mix incomparable FID/KID rows (ADVICE r4).
+        prior_w = (prior.get("inception_weights") or {}).get("sha256")
+        cur_w = (weights_info or {}).get("sha256")
         mismatched = {
             k for k in ("dataset", "real_data", "feature_space")
             if prior.get(k) != {"dataset": dataset, "real_data": real_data,
                                 "feature_space": extractor.name}[k]
         }
+        if prior_w != cur_w:
+            mismatched.add("inception_weights")
         if prior.get("recipe") != current_recipe or mismatched:
             raise ValueError(
                 f"--resume artifact {out_path} was produced under a different "
@@ -247,7 +265,19 @@ def reproduce_grid(
         logger.info("resume: %d finished rows reloaded from %s",
                     len(prior_rows), out_path)
 
+    # Final artifact = rows computed now + prior rows for configs outside
+    # this invocation's list (a narrower --configs re-run must not drop
+    # finished rows from the file). Ordered by the canonical grid order.
+    target = [n for n in GRID_CONFIGS
+              if n in configs or n in prior_rows]
+    done: dict[str, dict] = {}
+
+    def _merged_rows() -> list[dict]:
+        return [done.get(n) or prior_rows[n] for n in target
+                if n in done or n in prior_rows]
+
     def _result(complete: bool) -> dict:
+        merged = _merged_rows()
         return {
             "dataset": dataset,
             "real_data": real_data,
@@ -260,9 +290,9 @@ def reproduce_grid(
                 "image_size": image_size,
             },
             "complete": complete,
-            "configs_done": len(rows),
-            "configs_total": len(configs),
-            "rows": rows,
+            "configs_done": len(merged),
+            "configs_total": len(target),
+            "rows": merged,
         }
 
     def _dump(result: dict) -> None:
@@ -272,9 +302,15 @@ def reproduce_grid(
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
 
+    def _gen_path(name: str) -> str | None:
+        if not out_path:
+            return None
+        return os.path.join(os.path.dirname(os.path.abspath(out_path)),
+                            f"gen_{dataset}_{name}.npz")
+
     for name in configs:
-        if name in prior_rows:
-            rows.append(prior_rows[name])
+        if resume and name in prior_rows:
+            done[name] = prior_rows[name]
             logger.info("grid config %s: resumed from prior artifact", name)
             continue
         config = _build_config(
@@ -284,26 +320,46 @@ def reproduce_grid(
             dataset_path=dataset_path,
         )
         config = dataclasses.replace(config, noise_steps=noise_steps)
-        logger.info("grid config %s: training %d epochs", name, epochs)
-        t0 = time.time()
-        dl = Dataloader(ds, batch_size=batch_size, seed=seed)
-        losses = train(config, dl, root=root, sample_each_epoch=False)
-        train_s = time.time() - t0
 
-        model, params = _load_model_params(config, root)
-        gen = []
-        remaining = gen_total
-        chunk_i = 0
-        while remaining > 0:
-            x, _ = d.sample(
-                model.apply, n=gen_per_batch, image_channels=image_channels,
-                key=random.fold_in(random.key(seed), 7000 + chunk_i),
-                params=params,
-            )
-            gen.append(np.asarray(x)[:remaining])
-            remaining -= gen_per_batch
-            chunk_i += 1
-        gen_u8 = np.concatenate(gen)
+        losses: list = []
+        train_s = None
+        if reuse_checkpoints and os.path.exists(config.checkpoint_path(root)):
+            logger.info("grid config %s: reusing checkpoint %s", name,
+                        config.checkpoint_path(root))
+        else:
+            logger.info("grid config %s: training %d epochs", name, epochs)
+            t0 = time.time()
+            dl = Dataloader(ds, batch_size=batch_size, seed=seed)
+            losses = train(config, dl, root=root, sample_each_epoch=False)
+            train_s = time.time() - t0
+
+        gen_path = _gen_path(name)
+        gen_u8 = None
+        if reuse_generated and gen_path and os.path.exists(gen_path):
+            gen_u8 = np.load(gen_path)["images"]
+            logger.info("grid config %s: reusing %d generated images from %s",
+                        name, len(gen_u8), gen_path)
+        if gen_u8 is None:
+            model, params = _load_model_params(config, root)
+            gen = []
+            remaining = gen_total
+            chunk_i = 0
+            while remaining > 0:
+                x, _ = d.sample(
+                    model.apply, n=gen_per_batch,
+                    image_channels=image_channels,
+                    key=random.fold_in(random.key(seed), 7000 + chunk_i),
+                    params=params,
+                )
+                gen.append(np.asarray(x)[:remaining])
+                remaining -= gen_per_batch
+                chunk_i += 1
+            gen_u8 = np.concatenate(gen)
+            if gen_path:
+                # Persist the generated set next to the grid JSON (~1-2 MB
+                # per config) so metrics can be recomputed without
+                # retraining or resampling (VERDICT r4 weak #4).
+                np.savez_compressed(gen_path, images=gen_u8)
 
         m = calculate_metrics(gen_u8, train_u8[:gen_total], extractor)
         row = {
@@ -312,14 +368,16 @@ def reproduce_grid(
             "fid": round(m["frechet_inception_distance"], 2),
             "kid_x100": round(100 * m["kernel_inception_distance_mean"], 2),
             "final_loss": round(losses[-1], 4) if losses else None,
-            "train_s": round(train_s, 1),
+            "train_s": round(train_s, 1) if train_s is not None else None,
         }
+        if gen_path:
+            row["gen_images"] = os.path.basename(gen_path)
         pub = published.get(name)
         if pub and comparable:
             row["published_is"], row["published_fid"], row["published_kid_x100"] = pub
             row["delta_fid"] = round(row["fid"] - pub[1], 2)
             row["delta_kid_x100"] = round(row["kid_x100"] - pub[2], 2)
-        rows.append(row)
+        done[name] = row
         logger.info("grid config %s: %s", name, json.dumps(row))
         # Incremental persistence: a multi-hour 13-config run that dies at
         # config 11 keeps its 10 finished rows (complete=False marks it).

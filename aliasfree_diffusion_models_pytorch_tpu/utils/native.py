@@ -14,9 +14,9 @@ every run artifact (``impl_flags.impl_report``: ``native_loader``).
 from __future__ import annotations
 
 import ctypes
-import functools
 import logging
 import os
+import platform
 import shutil
 import subprocess
 
@@ -27,9 +27,15 @@ logger = logging.getLogger(__name__)
 _NATIVE_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "native")
 )
+# The cached .so is keyed by the host architecture so a source tree shared
+# across heterogeneous hosts (NFS, reused container image) never loads a
+# binary built for a different CPU. On x86_64 the build targets the portable
+# x86-64-v3 baseline (AVX2-era, 2015+) instead of -march=native for the same
+# reason; other arches get plain -O3.
+_ARCH = platform.machine() or "unknown"
 _LIB_CANDIDATES = (
-    os.path.join(_NATIVE_DIR, "build", "libafdm_native.so"),
     os.environ.get("AFDM_NATIVE_LIB", ""),
+    os.path.join(_NATIVE_DIR, "build", f"libafdm_native-{_ARCH}.so"),
 )
 
 
@@ -46,12 +52,13 @@ def _autobuild() -> str | None:
     if gxx is None or not os.path.exists(src):
         return None
     build_dir = os.path.join(_NATIVE_DIR, "build")
-    final = os.path.join(build_dir, "libafdm_native.so")
+    final = os.path.join(build_dir, f"libafdm_native-{_ARCH}.so")
     tmp = os.path.join(build_dir, f".libafdm_native.{os.getpid()}.so")
+    arch_flags = ["-march=x86-64-v3"] if _ARCH in ("x86_64", "AMD64") else []
     try:
         os.makedirs(build_dir, exist_ok=True)
         subprocess.run(
-            [gxx, "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+            [gxx, "-O3", *arch_flags, "-std=c++17", "-fPIC", "-shared",
              src, "-o", tmp],
             check=True, capture_output=True, timeout=300,
         )
@@ -69,11 +76,25 @@ def _autobuild() -> str | None:
     return final
 
 
-@functools.lru_cache(maxsize=1)
-def load_native():
-    """Return the loaded CDLL or None (compiling on first use if needed)."""
+# Manual memo instead of lru_cache so the probe-only path
+# (``load_native(autobuild=False)``, used by impl_report) never poisons the
+# cache: a later data-path call can still trigger the first-use build.
+_cache: dict = {"lib": None, "build_tried": False}
+
+
+def load_native(autobuild: bool = True):
+    """Return the loaded CDLL or None.
+
+    ``autobuild=True`` (the data path) compiles the library on first use;
+    ``autobuild=False`` (status probes like ``impl_flags.impl_report``) only
+    reports what already exists — rendering a settings dump must not spawn a
+    g++ compile as a side effect (ADVICE r4).
+    """
+    if _cache["lib"] is not None:
+        return _cache["lib"]
     candidates = [c for c in _LIB_CANDIDATES if c and os.path.exists(c)]
-    if not candidates:
+    if not candidates and autobuild and not _cache["build_tried"]:
+        _cache["build_tried"] = True
         built = _autobuild()
         if built:
             candidates = [built]
@@ -102,12 +123,22 @@ def load_native():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            _cache["lib"] = lib
             return lib
     return None
 
 
 def native_available() -> bool:
     return load_native() is not None
+
+
+def native_status() -> str:
+    """Probe-only status for run artifacts: never triggers a build."""
+    if load_native(autobuild=False) is not None:
+        return "loaded"
+    if any(c and os.path.exists(c) for c in _LIB_CANDIDATES):
+        return "present (not loaded)"
+    return "not built (autobuilds on first data use)"
 
 
 def parse_label_pixel_csv(path: str, cols: int = 784):

@@ -54,7 +54,7 @@ def test_reproduce_grid_synthetic_end_to_end(tmp_path):
         root=str(tmp_path), out_path=out,
     )
     assert result["comparable_to_published"] is False
-    assert result["feature_space"] == "random-conv"
+    assert result["feature_space"] == "random-conv-v2"
     assert [r["config"] for r in result["rows"]] == ["A", "D-2N"]
     for r in result["rows"]:
         assert np.isfinite(r["fid"])
