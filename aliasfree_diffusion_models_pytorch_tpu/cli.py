@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import math
 import sys
 
@@ -182,6 +183,18 @@ def main(argv=None) -> int:
     sub.choices["eval"].add_argument("--save", default=None)
 
     args = parser.parse_args(argv)
+
+    # Long-running subcommands narrate progress via logging.info (per-config
+    # grid rows, per-epoch train lines); without a handler those are silent
+    # and a multi-hour run looks hung. Root stays WARNING.
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s",
+        datefmt="%H:%M:%S",
+    )
+    logging.getLogger().setLevel(logging.WARNING)
+    logging.getLogger("aliasfree_diffusion_models_pytorch_tpu").setLevel(
+        logging.INFO)
 
     if args.cmd == "info":
         import jax

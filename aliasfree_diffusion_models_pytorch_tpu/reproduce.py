@@ -265,6 +265,25 @@ def reproduce_grid(
         logger.info("resume: %d finished rows reloaded from %s",
                     len(prior_rows), out_path)
 
+    # When --reuse-checkpoints skips training, the training facts
+    # (final_loss, train_s) still describe the checkpoint being reused;
+    # inherit them from a prior artifact at out_path if its *training*
+    # recipe matches (feature_space may differ — that's exactly the
+    # recompute-metrics-after-a-metric-fix use case).
+    train_meta: dict[str, dict] = {}
+    if reuse_checkpoints and out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            _prior = json.load(f)
+        _train_keys = ("epochs", "batch_size", "seed", "noise_steps",
+                       "image_size")
+        _pr = _prior.get("recipe") or {}
+        if (_prior.get("dataset") == dataset
+                and all(_pr.get(k) == v for k, v in {
+                    "epochs": epochs, "batch_size": batch_size, "seed": seed,
+                    "noise_steps": noise_steps, "image_size": image_size,
+                }.items() if k in _train_keys)):
+            train_meta = {r["config"]: r for r in _prior.get("rows", [])}
+
     # Final artifact = rows computed now + prior rows for configs outside
     # this invocation's list (a narrower --configs re-run must not drop
     # finished rows from the file). Ordered by the canonical grid order.
@@ -323,9 +342,13 @@ def reproduce_grid(
 
         losses: list = []
         train_s = None
+        final_loss = None
         if reuse_checkpoints and os.path.exists(config.checkpoint_path(root)):
             logger.info("grid config %s: reusing checkpoint %s", name,
                         config.checkpoint_path(root))
+            meta = train_meta.get(name) or {}
+            final_loss = meta.get("final_loss")
+            train_s = meta.get("train_s")
         else:
             logger.info("grid config %s: training %d epochs", name, epochs)
             t0 = time.time()
@@ -367,7 +390,7 @@ def reproduce_grid(
             "is": round(m["inception_score_mean"], 2),
             "fid": round(m["frechet_inception_distance"], 2),
             "kid_x100": round(100 * m["kernel_inception_distance_mean"], 2),
-            "final_loss": round(losses[-1], 4) if losses else None,
+            "final_loss": round(losses[-1], 4) if losses else final_loss,
             "train_s": round(train_s, 1) if train_s is not None else None,
         }
         if gen_path:

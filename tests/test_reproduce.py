@@ -101,3 +101,53 @@ def test_reproduce_grid_resume_skips_finished_configs(tmp_path):
             "MNIST", None, configs=["A"], root=str(tmp_path / "r3"),
             resume=True, **{**recipe, "noise_steps": 10},
         )
+
+
+def test_spearman_matches_scipy():
+    """benchmarks/grid_analysis.py reimplements Spearman scipy-free; pin it
+    to the scipy oracle, including tie handling."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from benchmarks.grid_analysis import spearman
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(13)
+    b = 0.5 * a + rng.standard_normal(13)
+    assert spearman(a, b) == pytest.approx(scipy_stats.spearmanr(a, b).statistic)
+    # ties (rounded metrics produce them constantly)
+    a2 = np.round(a, 0)
+    b2 = np.round(b, 0)
+    assert spearman(a2, b2) == pytest.approx(
+        scipy_stats.spearmanr(a2, b2).statistic)
+
+
+def test_reuse_checkpoints_inherits_training_facts(tmp_path):
+    """--reuse-checkpoints skips training but the row keeps the prior
+    artifact's final_loss/train_s (they describe the checkpoint in use);
+    the persisted gen_*.npz set is written and --reuse-generated reloads
+    it bit-identically."""
+    out = str(tmp_path / "grid.json")
+    recipe = dict(
+        epochs=1, batch_size=8, seed=0, gen_total=12, gen_per_batch=8,
+        image_size=8, image_channels=1, noise_steps=20, out_path=out,
+    )
+    first = reproduce_grid(
+        "MNIST", None, configs=["A"], root=str(tmp_path), **recipe,
+    )
+    assert first["rows"][0]["train_s"] is not None
+    gen_path = tmp_path / "gen_MNIST_A.npz"
+    assert gen_path.exists()
+    gen_first = np.load(gen_path)["images"]
+
+    second = reproduce_grid(
+        "MNIST", None, configs=["A"], root=str(tmp_path),
+        reuse_checkpoints=True, reuse_generated=True, **recipe,
+    )
+    r = second["rows"][0]
+    assert r["final_loss"] == first["rows"][0]["final_loss"]
+    assert r["train_s"] == first["rows"][0]["train_s"]
+    # metrics recomputed from the identical persisted set -> identical
+    assert r["fid"] == first["rows"][0]["fid"]
+    np.testing.assert_array_equal(np.load(gen_path)["images"], gen_first)
