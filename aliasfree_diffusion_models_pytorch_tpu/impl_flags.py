@@ -17,8 +17,9 @@ Knob inventory (defaults in parentheses):
 ``AFDM_GELU``             exact | poly13 (auto: poly15 on bf16, exact erf f32)
 ``AFDM_RESAMPLE_IMPL``    conv | shifts (conv — measured winner, v5e)
 ``AFDM_FG_IMPL``          conv | phases (phases on perf path, conv on parity)
-``AFDM_FLASH_ATTN``       0 | 1 (auto: TPU bf16, 256 <= S <= 4096)
+``AFDM_FLASH_ATTN``       0 | 1 (auto: TPU bf16, 256 <= S <= 16384)
 ``AFDM_FLASH_MIN_SEQ``    int (256)
+``AFDM_FLASH_MAX_SEQ``    int (16384) — measured cap, attn_handoff.json
 ``AFDM_FLASH_STRIP_MIN``  int (1025) — strip-blocked flash backward threshold
 ``AFDM_FLASH_DQT``        0 | 1 (auto: transposed dQ accumulation at S >= 512)
 ``AFDM_FLASH_STATS``      0 | 1 (1 — softmax-stat reuse fwd -> bwd)
@@ -54,6 +55,7 @@ def impl_report() -> dict:
         "fg_impl_parity": _fg_auto_impl(lax.Precision.HIGHEST),
         "flash_attn": os.environ.get("AFDM_FLASH_ATTN") or "auto",
         "flash_min_seq": int(os.environ.get("AFDM_FLASH_MIN_SEQ", "256")),
+        "flash_max_seq": int(os.environ.get("AFDM_FLASH_MAX_SEQ", "16384")),
         "flash_strip_min": int(os.environ.get("AFDM_FLASH_STRIP_MIN", "1025")),
         "flash_dqt": os.environ.get("AFDM_FLASH_DQT") or "auto(s>=512)",
         "flash_stats": _stats_on(),

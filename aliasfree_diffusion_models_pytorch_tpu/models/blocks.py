@@ -352,12 +352,16 @@ class SelfAttention(nn.Module):
         # (fwd+bwd 1.7 vs 4.6 ms at batch 256); XLA ties at S=64 and keeps
         # the sub-256 shapes.
         min_seq = int(os.environ.get("AFDM_FLASH_MIN_SEQ", "256"))
-        # Upper cap: above S=4096 (image size > 64) the kernels' per-block
-        # VMEM budgets (q-strip backward, q-blocked forward) run out of
-        # room to shrink — hand those shapes to XLA.
+        # Upper cap: measured through S=16384 (image-size 128), where the
+        # q-strip backward still beats XLA 3.4x fwd+bwd
+        # (sample_results/attn_handoff.json: S=4096 33.6 vs 109 ms, S=8192
+        # 35.3 vs 104, S=16384 32.8 vs 88). Above 16384 the strip formula's
+        # 128-row floor puts the (rows, S) f32 strip past scoped VMEM —
+        # unmeasured territory, handed to XLA.
+        max_seq = int(os.environ.get("AFDM_FLASH_MAX_SEQ", "16384"))
         return (
             self.precision is None
-            and min_seq <= seq_len <= 4096
+            and min_seq <= seq_len <= max_seq
             and (seq_len <= 512 or seq_len % 512 == 0)
             and jax.default_backend() == "tpu"
         )

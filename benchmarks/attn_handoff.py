@@ -62,6 +62,10 @@ def main() -> None:
         ("64px sa6 b32 S=4096 D=8", 32, 4, 4096, 8),
         ("S=2048 midpoint b64 D=8", 64, 4, 2048, 8),
         ("above-gate b8 S=8192 D=8", 8, 4, 8192, 8),
+        # image-size-128 territory; the q-strip backward's (128, S) f32
+        # strip is 8 MB here — the last size before the strip formula's
+        # floor (128 rows) overruns the scoped-VMEM budget at S=32768.
+        ("image-128 b2 S=16384 D=8", 2, 4, 16384, 8),
     ]
     rows = []
     for name, b, h, s, d in shapes:
