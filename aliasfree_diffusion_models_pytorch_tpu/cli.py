@@ -196,6 +196,15 @@ def main(argv=None) -> int:
     logging.getLogger("aliasfree_diffusion_models_pytorch_tpu").setLevel(
         logging.INFO)
 
+    # Persistent XLA compile cache for every subcommand: cold TPU compiles
+    # of the train step / 1000-step sampler scans are minutes on a 1-core
+    # host; repeat invocations of the same shapes start in seconds.
+    from aliasfree_diffusion_models_pytorch_tpu.utils.cache import (
+        setup_persistent_cache,
+    )
+
+    setup_persistent_cache()
+
     if args.cmd == "info":
         import jax
         from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import make_mesh
