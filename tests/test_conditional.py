@@ -40,6 +40,7 @@ def cond_model():
     return model, params
 
 
+@pytest.mark.slow
 def test_mask_zero_equals_unconditional(cond_model):
     model, params = cond_model
     x = random.normal(random.key(1), (4, IMG, IMG, 1))
@@ -160,6 +161,7 @@ def test_sampler_label_validation(cond_model):
                  labels=jnp.array([1, 2]))
 
 
+@pytest.mark.slow
 def test_train_end_to_end_conditional(tmp_path):
     """`train()` threads dataloader labels through to the model when
     num_classes is set (sample_each_epoch off to keep it fast)."""
@@ -193,6 +195,7 @@ def test_conditional_composes_with_rotation(cond_model):
     assert a.shape == (2, IMG, IMG, 1)
 
 
+@pytest.mark.slow
 def test_conditional_sharded_step_matches_single_device():
     """Labels shard over the data axis like the batch; a conditional train
     step on the virtual mesh must reproduce single-device numerics."""

@@ -175,6 +175,7 @@ def test_cli_parses():
     assert main(["info"]) == 0
 
 
+@pytest.mark.slow
 def test_cli_train_end_to_end(tmp_path):
     """The `train` subcommand runs a tiny synthetic config to completion."""
     from aliasfree_diffusion_models_pytorch_tpu.cli import main

@@ -14,6 +14,9 @@ import sys
 import numpy as np
 import pytest
 
+# Full end-to-end paths: excluded from the fast tier (README: Testing).
+pytestmark = pytest.mark.slow
+
 import jax
 from jax import random
 

@@ -42,6 +42,7 @@ def test_validate_inception_weights_unknown(tmp_path):
     assert len(info["sha256"]) == 64
 
 
+@pytest.mark.slow
 def test_reproduce_grid_synthetic_end_to_end(tmp_path):
     """Full pipeline on the synthetic fallback: train -> generate -> metric
     -> JSON + markdown, labeled not-comparable."""
@@ -71,6 +72,7 @@ def test_reproduce_grid_rejects_unknown_config():
         reproduce_grid("MNIST", None, configs=["Z-9"], epochs=1)
 
 
+@pytest.mark.slow
 def test_reproduce_grid_resume_skips_finished_configs(tmp_path):
     """--resume reloads prior rows and runs only the missing configs: the
     first run's training root is deleted before the resume, so config A can
@@ -123,6 +125,7 @@ def test_spearman_matches_scipy():
         scipy_stats.spearmanr(a2, b2).statistic)
 
 
+@pytest.mark.slow
 def test_reuse_checkpoints_inherits_training_facts(tmp_path):
     """--reuse-checkpoints skips training but the row keeps the prior
     artifact's final_loss/train_s (they describe the checkpoint in use);

@@ -6,6 +6,9 @@ import os
 import numpy as np
 import pytest
 
+# Full end-to-end paths: excluded from the fast tier (README: Testing).
+pytestmark = pytest.mark.slow
+
 from aliasfree_diffusion_models_pytorch_tpu.config import FilterSettings, TrainConfig
 from aliasfree_diffusion_models_pytorch_tpu.tasks import (
     ddpm_run,

@@ -83,6 +83,7 @@ def test_ema_semantics():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_end_to_end_and_checkpoint(tmp_path):
     config = tiny_config(epochs=2)
     ds = synthetic_dataset(n=8, image_size=8, channels=1)
@@ -106,6 +107,7 @@ def test_train_end_to_end_and_checkpoint(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_train_with_sampling_writes_grid(tmp_path):
     config = tiny_config(epochs=1, noise_steps=11)
     ds = synthetic_dataset(n=4, image_size=8, channels=1)
@@ -115,6 +117,7 @@ def test_train_with_sampling_writes_grid(tmp_path):
     assert os.path.exists(os.path.join(config.results_dir(str(tmp_path)), "0.jpg"))
 
 
+@pytest.mark.slow
 def test_conditional_training_runs():
     """Conditional mode: labels flow through the train step and change the
     loss (label embedding is used)."""
@@ -135,6 +138,7 @@ def test_conditional_training_runs():
     assert float(loss1) != float(loss2)
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path):
     """train(resume=True) restores params + step from the written checkpoint
     and continues counting from there."""
@@ -206,6 +210,7 @@ def test_npz_checkpoint_roundtrip_through_resume(tmp_path, monkeypatch):
     assert int(np.asarray(restored2["step"])) == int(state.step)
 
 
+@pytest.mark.slow
 def test_train_resume_with_npz_backend(tmp_path, monkeypatch):
     """Full train → npz save → train(resume=True) path with orbax disabled
     (the default-install scenario from the advisor repro)."""
@@ -234,6 +239,7 @@ def test_train_resume_with_npz_backend(tmp_path, monkeypatch):
     assert int(np.asarray(restored["step"])) == 4
 
 
+@pytest.mark.slow
 def test_base_width_decouples_capacity_from_resolution():
     """Beyond parity: base_width overrides the reference's width==image_size
     quirk. Widths (= every param shape) must match a model whose image_size
@@ -278,6 +284,7 @@ def test_base_width_decouples_capacity_from_resolution():
         )
 
 
+@pytest.mark.slow
 def test_base_width_recovered_from_persisted_config(tmp_path):
     """train() persists the config next to the checkpoint; sampling restore
     recovers shape knobs (base_width) even when the caller forgets to
@@ -306,6 +313,7 @@ def test_base_width_recovered_from_persisted_config(tmp_path):
     assert model.base_width == 16
 
 
+@pytest.mark.slow
 def test_metrics_run_header_records_impl(tmp_path):
     """The metrics.jsonl run header must carry the effective AFDM_* impl
     choices (VERDICT r3 #4)."""

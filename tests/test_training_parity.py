@@ -35,6 +35,7 @@ F_DICT = {"kernel_size": 3, "kaiser_beta": 2.0,
 
 
 @pytest.mark.parametrize("variant", [0, 3])
+@pytest.mark.slow
 def test_one_adamw_step_matches_torch(variant):
     ref_models = load_reference_modules()
     torch.manual_seed(0)
