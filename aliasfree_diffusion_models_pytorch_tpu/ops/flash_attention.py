@@ -96,6 +96,25 @@ def _pick_q_block(s: int) -> int:
     return blk
 
 
+def _vmem_params(s: int):
+    """Raise the kernel's scoped-VMEM cap above S=4096.
+
+    The full-S forward at S=16384/D=32 (image-size 128, reference-quirk
+    width) allocates 16.04 MB — 38 KB over Mosaic's 16 MB default cap — and
+    hard-fails at compile time, while the same shape at D=8 fits: the live
+    set depends on Mosaic's buffer-reuse decisions, which an analytic
+    estimate cannot reproduce reliably. So the rule is empirical: every
+    S<=4096 regime is measured to fit the default cap (which then keeps
+    guarding those kernels against live-set regressions); above it the cap
+    — not the hardware, v5e has 128 MB of VMEM — is the binding
+    constraint, and is raised to half the physical budget.
+    """
+    if s <= 4096:
+        return {}
+    return {"compiler_params":
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)}
+
+
 def _stats_on() -> bool:
     """Softmax-stat reuse (fold the softmax division out of the S x S domain
     in the forward and hand (m, denom) to the backward, which then skips its
@@ -330,6 +349,7 @@ def _flash_bwd_strips(q, k, v, out, m, ssum, g_out, scale, interpret):
     gt = jnp.swapaxes(g3, 1, 2)
     blk = _pick_q_strip(s)
     grid = (bh, s // blk)
+    vmem_kw = _vmem_params(s)
     sspec = pl.BlockSpec((1, blk, d), lambda i, r: (i, r, 0),
                          memory_space=pltpu.VMEM)
     tstrip = pl.BlockSpec((1, d, blk), lambda i, r: (i, 0, r),
@@ -363,6 +383,7 @@ def _flash_bwd_strips(q, k, v, out, m, ssum, g_out, scale, interpret):
         in_specs=in_specs,
         out_specs=(tstrip, tfull, tfull),
         interpret=interpret,
+        **vmem_kw,
     )(*inputs)
     shape4 = (b, h, s, d)
     dq = jnp.swapaxes(dqt, 1, 2).reshape(shape4)
@@ -393,6 +414,7 @@ def _flash_fwd(q, k, v, scale, interpret, with_stats=False):
         (g, d, s), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
     )
     mode = ("stats" if with_stats else "fold") if _stats_on() else "plain"
+    vmem_kw = _vmem_params(s)
     out_shape = jax.ShapeDtypeStruct((bh, d, s), q.dtype)
     if mode == "stats":
         sspec = pl.BlockSpec(
@@ -406,6 +428,7 @@ def _flash_fwd(q, k, v, scale, interpret, with_stats=False):
             in_specs=[kspec, qtspec, vtspec],
             out_specs=(qtspec, sspec, sspec),
             interpret=interpret,
+            **vmem_kw,
         )(k3, qt, vt)
         return jnp.swapaxes(out_t, 1, 2).reshape(b, h, s, d), m, ssum
     out_t = pl.pallas_call(
@@ -415,6 +438,7 @@ def _flash_fwd(q, k, v, scale, interpret, with_stats=False):
         in_specs=[kspec, qtspec, vtspec],
         out_specs=qtspec,
         interpret=interpret,
+        **vmem_kw,
     )(k3, qt, vt)
     out = jnp.swapaxes(out_t, 1, 2).reshape(b, h, s, d)
     return (out, None, None) if with_stats else out

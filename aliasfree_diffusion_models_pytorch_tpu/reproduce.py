@@ -174,8 +174,10 @@ def reproduce_grid(
     ``gen_{dataset}_{config}.npz`` next to ``out_path`` so metrics can be
     recomputed (e.g. after a metric fix) without retraining.
     ``reuse_checkpoints=True`` skips training when a checkpoint already
-    exists under ``root``; ``reuse_generated=True`` additionally reuses a
-    persisted image set instead of re-sampling.
+    exists under ``root``; ``reuse_generated=True`` reuses a persisted
+    image set instead of re-sampling — and since a reused image set needs
+    neither a model nor a checkpoint, it skips training entirely, so
+    metrics recompute from the committed ``gen_*.npz`` artifacts alone.
     """
     import jax
     from jax import random
@@ -271,7 +273,8 @@ def reproduce_grid(
     # recipe matches (feature_space may differ — that's exactly the
     # recompute-metrics-after-a-metric-fix use case).
     train_meta: dict[str, dict] = {}
-    if reuse_checkpoints and out_path and os.path.exists(out_path):
+    if (reuse_checkpoints or reuse_generated) and out_path \
+            and os.path.exists(out_path):
         with open(out_path) as f:
             _prior = json.load(f)
         _train_keys = ("epochs", "batch_size", "seed", "noise_steps",
@@ -343,7 +346,19 @@ def reproduce_grid(
         losses: list = []
         train_s = None
         final_loss = None
-        if reuse_checkpoints and os.path.exists(config.checkpoint_path(root)):
+        gen_path = _gen_path(name)
+        gen_u8 = None
+        if reuse_generated and gen_path and os.path.exists(gen_path):
+            # A reused image set needs neither model nor checkpoint, so
+            # training is skipped outright: metrics recompute from the
+            # persisted artifacts alone (no grid_runs/ tree required).
+            gen_u8 = np.load(gen_path)["images"]
+            meta = train_meta.get(name) or {}
+            final_loss = meta.get("final_loss")
+            train_s = meta.get("train_s")
+            logger.info("grid config %s: reusing %d generated images from %s",
+                        name, len(gen_u8), gen_path)
+        elif reuse_checkpoints and os.path.exists(config.checkpoint_path(root)):
             logger.info("grid config %s: reusing checkpoint %s", name,
                         config.checkpoint_path(root))
             meta = train_meta.get(name) or {}
@@ -356,12 +371,6 @@ def reproduce_grid(
             losses = train(config, dl, root=root, sample_each_epoch=False)
             train_s = time.time() - t0
 
-        gen_path = _gen_path(name)
-        gen_u8 = None
-        if reuse_generated and gen_path and os.path.exists(gen_path):
-            gen_u8 = np.load(gen_path)["images"]
-            logger.info("grid config %s: reusing %d generated images from %s",
-                        name, len(gen_u8), gen_path)
         if gen_u8 is None:
             model, params = _load_model_params(config, root)
             gen = []
@@ -390,6 +399,12 @@ def reproduce_grid(
             "is": round(m["inception_score_mean"], 2),
             "fid": round(m["frechet_inception_distance"], 2),
             "kid_x100": round(100 * m["kernel_inception_distance_mean"], 2),
+            # Full-precision copies for ordering analysis: proxy KID spans
+            # ~1e-3 across non-C configs, which the 2-decimal display
+            # rounding collapses to ties (round-5 Spearman caveat).
+            "is_raw": float(m["inception_score_mean"]),
+            "fid_raw": float(m["frechet_inception_distance"]),
+            "kid_x100_raw": float(100 * m["kernel_inception_distance_mean"]),
             "final_loss": round(losses[-1], 4) if losses else final_loss,
             "train_s": round(train_s, 1) if train_s is not None else None,
         }

@@ -68,10 +68,13 @@ def analyze(path: str) -> list[str]:
         return lines
 
     names = [r["config"] for r in rows]
+    # Prefer the full-precision *_raw fields (present since round 5): the
+    # 2-decimal display rounding collapses proxy KID (~1e-3 spread across
+    # non-C configs) to ties, which biases rank correlations toward 0.
     proxy = {
-        "fid": [r["fid"] for r in rows],
-        "kid_x100": [r["kid_x100"] for r in rows],
-        "is": [r["is"] for r in rows],
+        "fid": [r.get("fid_raw", r["fid"]) for r in rows],
+        "kid_x100": [r.get("kid_x100_raw", r["kid_x100"]) for r in rows],
+        "is": [r.get("is_raw", r["is"]) for r in rows],
     }
     published = {
         "is": [pub[n][0] for n in names],

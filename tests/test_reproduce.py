@@ -154,3 +154,20 @@ def test_reuse_checkpoints_inherits_training_facts(tmp_path):
     # metrics recomputed from the identical persisted set -> identical
     assert r["fid"] == first["rows"][0]["fid"]
     np.testing.assert_array_equal(np.load(gen_path)["images"], gen_first)
+    # full-precision fields ride along for the ordering analysis
+    assert round(r["fid_raw"], 2) == r["fid"]
+    assert round(r["kid_x100_raw"], 2) == r["kid_x100"]
+
+    # --reuse-generated alone is artifact-only: a fresh root with NO
+    # checkpoints must not retrain — metrics recompute from gen_*.npz.
+    fresh_root = tmp_path / "fresh"
+    fresh_root.mkdir()
+    third = reproduce_grid(
+        "MNIST", None, configs=["A"], root=str(fresh_root),
+        reuse_generated=True, **recipe,
+    )
+    r3 = third["rows"][0]
+    assert r3["fid"] == first["rows"][0]["fid"]
+    assert r3["train_s"] == first["rows"][0]["train_s"]  # inherited meta
+    # no training artifacts were created under the fresh root
+    assert list(fresh_root.iterdir()) == []
