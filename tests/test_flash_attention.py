@@ -149,3 +149,18 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=2e-2
     )
+
+
+def test_vmem_cap_gate():
+    """The scoped-VMEM relief engages strictly above S=4096: S<=4096 kernels
+    keep Mosaic's default cap (the regression guard for the hot small-S
+    shapes); larger S raises vmem_limit_bytes (measured requirement: the
+    S=16384/D=32 forward allocates 16.04 MB, image-size-128 training)."""
+    from aliasfree_diffusion_models_pytorch_tpu.ops.flash_attention import (
+        _vmem_params,
+    )
+
+    for s in (256, 1024, 4096):
+        assert _vmem_params(s) == {}
+    kw = _vmem_params(16384)
+    assert kw["compiler_params"].vmem_limit_bytes == 64 * 2**20
