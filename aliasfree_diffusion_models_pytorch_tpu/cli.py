@@ -61,6 +61,18 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="class-conditional mode: labels flow from the dataloader")
     p.add_argument("--label-dropout", type=float, default=0.0,
                    help="CFG training: per-sample label-drop probability (~0.1)")
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "warmup_cosine"],
+                   help="constant (reference) | linear warmup + cosine decay")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear-warmup optimizer updates (warmup_cosine only)")
+    p.add_argument("--lr-min-ratio", type=float, default=0.0,
+                   help="cosine floor as a fraction of peak lr")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches averaged per optimizer update "
+                        "(effective batch = k * batch-size)")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="global-norm gradient clipping threshold")
 
 
 def _config_from_args(args) -> "TrainConfig":
@@ -100,6 +112,11 @@ def _config_from_args(args) -> "TrainConfig":
         checkpoint_opt_state=getattr(args, "checkpoint_opt_state", False),
         num_classes=args.num_classes,
         label_dropout=args.label_dropout,
+        lr_schedule=getattr(args, "lr_schedule", "constant"),
+        warmup_steps=getattr(args, "warmup_steps", 0),
+        lr_min_ratio=getattr(args, "lr_min_ratio", 0.0),
+        grad_accum=getattr(args, "grad_accum", 1),
+        grad_clip=getattr(args, "grad_clip", None),
     )
 
 

@@ -128,6 +128,21 @@ class TrainConfig:
     # 2022). 0.0 = pure conditional training (reference semantics); ~0.1 is
     # the standard CFG recipe. Only meaningful with num_classes set.
     label_dropout: float = 0.0
+    # --- production optimizer knobs (opt-in; defaults = exact reference
+    #     semantics: constant lr, no clipping, one batch per update —
+    #     modules/ddpm_utils.py:489 `optim.AdamW(lr)`) ---
+    lr_schedule: str = "constant"  # "constant" | "warmup_cosine"
+    warmup_steps: int = 0  # linear-warmup updates (warmup_cosine only)
+    lr_min_ratio: float = 0.0  # cosine floor as a fraction of peak lr
+    # Cosine decay horizon in OPTIMIZER UPDATES. None = train() derives it
+    # (epochs x steps-per-epoch / grad_accum); required for direct
+    # make_optimizer() use with warmup_cosine.
+    lr_total_steps: int | None = None
+    # Gradient accumulation: average grads over k micro-batches per optimizer
+    # update (optax.MultiSteps) — effective batch = k * batch_size without
+    # the memory. EMA blending gates itself onto emit steps.
+    grad_accum: int = 1
+    grad_clip: float | None = None  # global-norm gradient clipping
 
     def __post_init__(self) -> None:
         if not 0 <= self.variant <= 4:
@@ -155,6 +170,25 @@ class TrainConfig:
             )
         if self.label_dropout > 0.0 and self.num_classes is None:
             raise ValueError("label_dropout requires num_classes")
+        if self.lr_schedule not in ("constant", "warmup_cosine"):
+            raise ValueError(
+                f"lr_schedule must be 'constant' or 'warmup_cosine', "
+                f"got {self.lr_schedule!r}"
+            )
+        if self.warmup_steps < 0:
+            raise ValueError(f"warmup_steps must be >= 0, got {self.warmup_steps}")
+        if not 0.0 <= self.lr_min_ratio <= 1.0:
+            raise ValueError(
+                f"lr_min_ratio must be in [0, 1], got {self.lr_min_ratio}"
+            )
+        if self.lr_total_steps is not None and self.lr_total_steps < 1:
+            raise ValueError(
+                f"lr_total_steps must be >= 1, got {self.lr_total_steps}"
+            )
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+        if self.grad_clip is not None and self.grad_clip <= 0.0:
+            raise ValueError(f"grad_clip must be > 0, got {self.grad_clip}")
 
     @classmethod
     def from_params(cls, params: Mapping[str, Any]) -> "TrainConfig":

@@ -74,9 +74,60 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
-    """torch ``optim.AdamW(lr)`` defaults (``modules/ddpm_utils.py:489``)."""
-    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+def make_optimizer(
+    config: "TrainConfig | float", total_steps: int | None = None
+) -> optax.GradientTransformation:
+    """AdamW with the reference's torch defaults, plus opt-in production knobs.
+
+    Defaults reproduce torch ``optim.AdamW(lr)`` exactly
+    (``modules/ddpm_utils.py:489``) — constant lr, no clipping, one batch per
+    update — and the optimizer-parity test pins that path against torch.
+    Opt-in via ``TrainConfig``:
+
+    - ``grad_clip``: global-norm gradient clipping before AdamW.
+    - ``lr_schedule="warmup_cosine"``: linear warmup over ``warmup_steps``
+      then cosine decay to ``lr * lr_min_ratio`` across ``total_steps``
+      optimizer updates (``lr_total_steps``; ``train()`` derives it from
+      epochs x steps-per-epoch / grad_accum when unset).
+    - ``grad_accum=k``: ``optax.MultiSteps`` gradient averaging — params
+      emit every k-th micro-batch, effective batch = k * batch_size.
+
+    A bare float is accepted as shorthand for the pure-parity optimizer.
+    """
+    if isinstance(config, (int, float)):
+        lr, schedule, accum, clip = float(config), "constant", 1, None
+        warmup, min_ratio = 0, 0.0
+    else:
+        lr, schedule, accum, clip = (
+            config.lr, config.lr_schedule, config.grad_accum, config.grad_clip
+        )
+        warmup, min_ratio = config.warmup_steps, config.lr_min_ratio
+        if total_steps is None:
+            total_steps = config.lr_total_steps
+    if schedule == "warmup_cosine":
+        if total_steps is None:
+            raise ValueError(
+                "lr_schedule='warmup_cosine' needs a decay horizon: set "
+                "TrainConfig.lr_total_steps (in optimizer updates) or use "
+                "train(), which derives it from the dataloader"
+            )
+        learning_rate: float | optax.Schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=warmup,
+            decay_steps=int(total_steps),
+            end_value=lr * min_ratio,
+        )
+    else:
+        learning_rate = lr
+    tx = optax.adamw(
+        learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2
+    )
+    if clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def recover_base_width(config: TrainConfig, root: str = ".") -> TrainConfig:
@@ -166,7 +217,7 @@ class EMA:
 def create_train_state(config: TrainConfig, rng: jax.Array) -> tuple[UNet, TrainState]:
     model = build_model(config)
     params = model.init_params(rng, batch=1)
-    tx = make_optimizer(config.lr)
+    tx = make_optimizer(config)
     opt_state = tx.init(params)
     return model, TrainState(
         params=params,
@@ -200,10 +251,11 @@ def make_train_step(
     state_shardings=None,
 ) -> Callable:
     """Build the jitted SPMD train step: ``(state, batch, key) -> (state, loss)``."""
-    tx = make_optimizer(config.lr)
+    tx = make_optimizer(config)
     ema_beta = config.ema_beta
     use_ema = config.use_ema
     step_start_ema = 2000  # reference default (modules/ddpm_utils.py:42)
+    grad_accum = config.grad_accum
 
     label_dropout = config.label_dropout
 
@@ -252,6 +304,20 @@ def make_train_step(
                 state.ema_params,
                 params,
             )
+            if grad_accum > 1:
+                # MultiSteps emits an optimizer update every k-th micro-batch
+                # and leaves params untouched in between (mini_step wraps to
+                # 0 exactly on emit). Blending the EMA toward unchanged
+                # params every micro-batch would shrink its effective horizon
+                # by k, so hold it still on non-emit steps. step_start_ema
+                # stays in micro-batches (= batches seen), matching the
+                # reference's counter semantics.
+                emitted = opt_state.mini_step == 0
+                ema = jax.tree.map(
+                    lambda new_e, old_e: jnp.where(emitted, new_e, old_e),
+                    ema,
+                    state.ema_params,
+                )
         else:
             ema = state.ema_params
         new_state = TrainState(params, opt_state, ema, state.step + 1)
@@ -319,6 +385,17 @@ def train(
 
     if resume:
         config = recover_base_width(config, root)
+    if config.lr_schedule != "constant" and config.lr_total_steps is None:
+        # Cosine horizon in OPTIMIZER UPDATES: every epoch walks the full
+        # dataloader; MultiSteps emits one update per grad_accum batches.
+        steps_per_epoch = max(1, len(dataloader))
+        config = dataclasses.replace(
+            config,
+            lr_total_steps=max(
+                1, config.epochs * steps_per_epoch // config.grad_accum
+            ),
+        )
+        logger.info("lr_total_steps derived: %d updates", config.lr_total_steps)
     rng = random.key(config.seed)
     rng, init_rng = random.split(rng)
     model, state = create_train_state(config, init_rng)
