@@ -145,6 +145,7 @@ def _fixed_batch(config):
     return jnp.asarray(ds.images)
 
 
+@pytest.mark.slow
 def test_grad_accum_emits_every_kth_step():
     config = tiny_config(grad_accum=2)
     model, state = create_train_state(config, random.key(0))
@@ -166,6 +167,7 @@ def test_grad_accum_emits_every_kth_step():
     assert changed, "second micro-step must emit an optimizer update"
 
 
+@pytest.mark.slow
 def test_grad_accum_identical_grads_match_plain_steps():
     """k identical micro-batches average to the same grad -> same trajectory.
 
@@ -194,6 +196,7 @@ def test_grad_accum_identical_grads_match_plain_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ema_holds_still_between_emits():
     """After step_start_ema, the EMA must only blend on emit micro-steps."""
     config = tiny_config(grad_accum=2, use_ema=True)
@@ -227,6 +230,7 @@ def test_ema_holds_still_between_emits():
 # integration: train() horizon derivation, checkpointing, sharding
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_train_derives_cosine_horizon(tmp_path):
     config = tiny_config(lr_schedule="warmup_cosine", warmup_steps=1, epochs=2)
     ds = synthetic_dataset(n=8, image_size=8, channels=1)
@@ -239,6 +243,7 @@ def test_train_derives_cosine_horizon(tmp_path):
     assert stored["lr_schedule"] == "warmup_cosine"
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_multisteps_state(tmp_path):
     """The MultiSteps optimizer state must survive save/restore exactly."""
     from aliasfree_diffusion_models_pytorch_tpu.utils.checkpoint import (
@@ -273,6 +278,7 @@ def test_checkpoint_roundtrip_multisteps_state(tmp_path):
     np.testing.assert_allclose(float(loss_live), float(loss_restored), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_accum_state_shards_over_fsdp_mesh():
     """MultiSteps' param-shaped accumulator leaves follow the ZeRO-3 layout."""
     from aliasfree_diffusion_models_pytorch_tpu.parallel.mesh import (
